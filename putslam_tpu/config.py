@@ -1,0 +1,232 @@
+"""Typed configuration tree for putslam_tpu.
+
+One dataclass tree replaces the reference's layered tinyXML2 config files
+(reference: resources/putslamconfigGlobal.xml, putslammatcherOpenCVParameters.xml,
+putslammapConfig.xml, datasetConfig/<seq>.xml; parsed in PUTSLAM.cpp:454-576 and
+the per-component nested ``Config`` ctors, e.g. matcher.h:177-369,
+featuresMap.h:184-387). Parameter names are kept close to the reference's XML
+attribute names so operating points are directly comparable.
+
+All capacity fields (``max_features`` etc.) are *static* shapes: every runtime
+array in the engine is fixed-capacity + validity mask so that the whole
+per-frame step compiles once under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + distortion + depth-noise model.
+
+    Mirrors resources/datasetConfig/freiburg1_desk.xml (focalLength, focalAxis,
+    rgbDistortion, variance/varianceDepth) and depthSensorModel.h:51-138.
+    """
+
+    fu: float = 517.3
+    fv: float = 516.5
+    cu: float = 318.6
+    cv: float = 255.3
+    # OpenCV-style radial-tangential distortion (k1, k2, p1, p2, k3).
+    k1: float = -0.0410
+    k2: float = 0.3286
+    p1: float = 0.0087
+    p2: float = 0.0051
+    k3: float = -0.5643
+    width: int = 640
+    height: int = 480
+    depth_image_scale: float = 5000.0
+    # Pixel / depth measurement noise (Park model), depthSensorModel.cpp:28-36.
+    sigma_u: float = 1.1046
+    sigma_v: float = 0.6416
+    # depth variance polynomial c3*z^3 + c2*z^2 + c1*z + c0 (millimetre fit).
+    var_c3: float = 0.567602
+    var_c2: float = 0.888951
+    var_c1: float = 0.418786
+    var_c0: float = 0.964182
+    # Valid depth gate used when lifting features (PUTSLAM.cpp:117, RANSAC.cpp:64-74).
+    min_depth: float = 0.1
+    max_depth: float = 6.0
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """FAST/ORB-style detection. Mirrors matcherOpenCV.cpp:118-180 grid policy."""
+
+    max_features: int = 512          # detection cap (reference: 500, padded to 512)
+    fast_threshold: float = 20.0     # FAST intensity threshold (0..255 scale)
+    grid_rows: int = 6               # gridRows in matcher XML
+    grid_cols: int = 8               # gridCols in matcher XML
+    n_pyramid_levels: int = 4        # ORB scale pyramid depth
+    scale_factor: float = 1.41421356 # per-level downscale (sqrt(2))
+    nms_radius: int = 7              # DBScan-equivalent declustering radius (dbscan.cpp:79-123)
+    patch_size: int = 32             # descriptor patch (rBRIEF standard)
+    border: int = 20                 # keypoint exclusion border
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Batched RANSAC. Mirrors <RANSAC .../> in putslammatcherOpenCVParameters.xml
+    and RANSAC.cpp:50-174 behavior (adaptive iterations replaced by a fixed,
+    larger hypothesis batch evaluated in parallel)."""
+
+    n_hypotheses: int = 1024             # replaces sequential adaptive loop RANSAC.cpp:87-150
+    used_pairs: int = 3                  # usedPairs
+    inlier_threshold_euclidean: float = 0.04   # inlierThresholdEuclidean (m)
+    inlier_threshold_reprojection: float = 2.0 # inlierThresholdReprojection (px)
+    inlier_threshold_mahalanobis: float = 2e-4
+    minimal_inlier_ratio: float = 0.2    # minimalInlierRatioThreshold → identity fallback
+    minimal_num_matches: int = 15        # minimalNumberOfMatches
+    error_version: int = 0               # 0 Euclid, 1 reproj, 2 both, 4 adaptive
+    refit_iterations: int = 2            # re-fit on inliers (RANSAC.cpp:152-158), iterated
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching / guided map matching. Mirrors matcher.h config +
+    matchXYZ semantics (matcher.cpp:606-798)."""
+
+    cross_check: bool = True
+    max_hamming: int = 64                  # descriptor distance acceptance gate
+    matching_xyz_sphere_radius: float = 0.12   # matchingXYZSphereRadius
+    matching_xyz_acceptance_ratio: float = 0.55  # matchingXYZacceptRatio
+    octave_window: int = 1                 # octave +-1 gate, matcher.cpp:699-711
+    retries: int = 2                       # map-matching retry with widened radius
+    retry_radius_growth: float = 1.5       # PUTSLAM.cpp:791-798 widening
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Pyramidal KLT tracking (VOVersion=1). Mirrors matcherOpenCV.cpp:209-300."""
+
+    win_size: int = 7
+    max_levels: int = 3
+    max_iter: int = 20
+    eps: float = 0.01
+    error_threshold: float = 8.0
+    min_tracked_features: int = 300
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Feature map capacities + policies. Mirrors putslammapConfig.xml and
+    featuresMap.cpp keyframe/compression logic."""
+
+    max_landmarks: int = 8192
+    max_keyframes: int = 256
+    descriptor_views: int = 4             # multi-descriptor slots (featuresMap.cpp:1172-1213)
+    view_angle_new_descriptor: float = 0.5236  # 30 deg gate for a new descriptor slot
+    covisibility_keyframe: float = 0.9    # new keyframe when covisibility < thr (featuresMap.cpp:292-333)
+    marginalization_thr: float = 0.3      # marginalize when covisibility < thr
+    min_frames_between_keyframes: int = 0
+    max_frames_window: int = 250          # maxFramesNo
+    add_pose_to_pose_edges: bool = True
+    max_measurements_pose_to_pose: int = 80     # maxMeasurementsToAddPoseToPoseEdge
+    min_measurements_pose_to_feature: int = 45  # minMeasurementsToAddPoseToFeatureEdge
+    add_features_when_map_size_less_than: int = 350
+    add_features_when_measurements_less_than: int = 100
+    max_once_feature_add: int = 200
+    min_euclidean_distance_of_features: float = 0.03
+    min_image_distance_of_features: float = 2.0
+    add_no_features_when_map_size_greater_than: int = 1000
+    use_uncertainty: bool = False
+    life_value_init: float = 10.0          # feature aging (featuresMap.cpp:474-516)
+    life_value_measurement_bonus: float = 5.0
+    life_value_decay: float = 1.0
+
+
+@dataclass(frozen=True)
+class BackendConfig:
+    """Bundle-adjustment / pose-graph solver. Mirrors graph_g2o.cpp:32-65 solver
+    choice (PCG + block solver + Gauss-Newton) rebuilt as dense-block Schur +
+    CG on the reduced camera system."""
+
+    max_pose_pose_edges: int = 1024
+    max_observations: int = 65536         # pose-landmark measurement capacity
+    gn_iterations: int = 4                # per optimize() call (reference uses 1-iter loop)
+    pcg_iterations: int = 64
+    pcg_tol: float = 1e-6
+    damping: float = 1e-6                 # LM-style diagonal damping for safety
+    robust_kernel: str = "cauchy"         # "none" | "cauchy" | "huber" (graph_g2o.cpp:367-383)
+    robust_delta: float = 1.0
+    huber_delta: float = 0.1
+    chi2_ratio_termination: float = 0.999  # graph_g2o.cpp:888-908 convergence loop
+    optimize_every_n_frames: int = 5
+    error_type: int = 0                   # 0 euclidean Edge3D, 1 reprojection
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Place recognition + verification. Mirrors loopClosureLocal.cpp:51-125 and
+    featuresMap.cpp:733-873 (FAB-MAP replaced by binary BoW cosine scoring)."""
+
+    enabled: bool = False
+    vocab_size: int = 512                  # binary word count for BoW scoring
+    tail_skip: int = 15                    # skip this many most-recent frames
+    queue_capacity: int = 64               # priority queue trim (reference 100→50)
+    min_probability: float = 0.3
+    min_features_lc: int = 35              # minNumberOfFeaturesLC
+    matching_ratio_threshold: float = 0.4  # matchingRatioThresholdLC
+
+
+@dataclass(frozen=True)
+class MotionModelConfig:
+    """Decaying-velocity EKF (decayingVelocityModel.cpp:3-215)."""
+
+    enabled: bool = False
+    decay: float = 0.95
+    q_pos: float = 1e-4
+    q_vel: float = 1e-3
+    q_quat: float = 1e-4
+    q_angvel: float = 1e-3
+    r_pos: float = 1e-4
+    r_quat: float = 1e-4
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level engine config (the putslamconfigGlobal.xml equivalent)."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    loop_closure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    motion_model: MotionModelConfig = field(default_factory=MotionModelConfig)
+    only_vo: bool = False                  # onlyVO — disable the map/backend
+    vo_version: int = 0                    # 0 matching, 1 tracking (VOVersion)
+    # VO translation sanity gate → identity increment (PUTSLAM.cpp:735-737).
+    max_vo_translation: float = 0.1
+    get_visible_features_graph_max_depth: int = 2
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tum_fr1_config(**overrides) -> SlamConfig:
+    """The reference's default fr1_desk operating point (BASELINE.md)."""
+    cfg = SlamConfig()
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def tiny_test_config() -> SlamConfig:
+    """Small capacities for fast CPU tests."""
+    return SlamConfig(
+        camera=CameraConfig(fu=80.0, fv=80.0, cu=64.0, cv=48.0,
+                            k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+                            width=128, height=96),
+        detector=DetectorConfig(max_features=128, grid_rows=3, grid_cols=4,
+                                n_pyramid_levels=2, border=8),
+        ransac=RansacConfig(n_hypotheses=128),
+        map=MapConfig(max_landmarks=512, max_keyframes=32),
+        backend=BackendConfig(max_pose_pose_edges=64, max_observations=4096,
+                              pcg_iterations=32),
+    )

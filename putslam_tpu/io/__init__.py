@@ -1,0 +1,1 @@
+from putslam_tpu.io import synthetic, tum  # noqa: F401

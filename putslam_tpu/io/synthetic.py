@@ -1,0 +1,139 @@
+"""Synthetic RGB-D sequence generator (raycast box world).
+
+Fills the role of the reference's dataset fixtures when no TUM/ICL data is on
+disk (the reference replays datasets through ``FileGrabber``,
+src/Grabber/fileGrabber.cpp:40-160; its only synthetic data is noise in
+demos/demoKabsch.cpp:19-26). Here we render a *photoconsistent* world — a
+procedurally textured axis-aligned room observed from an arbitrary camera
+trajectory — entirely in JAX, so frames can be generated on-device at
+benchmark speed with exact ground-truth poses and depth.
+
+Conventions: camera looks down +z, x right, y down; a pose is camera→world
+(world = R @ p_cam + t) in the se3 (...,7) layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putslam_tpu.config import CameraConfig
+from putslam_tpu.geometry import se3
+
+
+# ---------------------------------------------------------------------------
+# Procedural 3D texture: multi-scale hashed value noise → lots of corners.
+# ---------------------------------------------------------------------------
+
+
+def _hash3(ix, iy, iz, seed):
+    h = (
+        ix.astype(jnp.uint32) * jnp.uint32(73856093)
+        ^ iy.astype(jnp.uint32) * jnp.uint32(19349663)
+        ^ iz.astype(jnp.uint32) * jnp.uint32(83492791)
+        ^ jnp.uint32(seed) * jnp.uint32(2654435761)
+    )
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(1274126177)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+
+
+def texture3d(p, seed: int = 7):
+    """Intensity in [0,1] at world points p (...,3): piecewise-constant cells at
+    three scales (sharp edges → strong FAST corners) + a smooth shading term."""
+    out = 0.0
+    for octave, (scale, weight) in enumerate(((8.0, 0.45), (20.0, 0.3), (55.0, 0.15))):
+        g = jnp.floor(p * scale)
+        out = out + weight * _hash3(g[..., 0], g[..., 1], g[..., 2], seed + octave)
+    # smooth large-scale shading so walls are not uniformly bright
+    out = out + 0.1 * (0.5 + 0.5 * jnp.sin(p[..., 0] * 1.7 + p[..., 2] * 0.9))
+    return jnp.clip(out, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Raycast renderer.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def render_frame(cam: CameraConfig, pose, box_min=None, box_max=None, seed: int = 7):
+    """Render (gray, depth) for a camera pose inside an axis-aligned room.
+
+    gray: (H,W) float32 in [0,1]; depth: (H,W) float32 metres (z-depth).
+    """
+    if box_min is None:
+        box_min = jnp.array([-3.0, -2.0, -3.0])
+    if box_max is None:
+        box_max = jnp.array([3.0, 2.0, 3.0])
+    H, W = cam.height, cam.width
+    u = jnp.arange(W, dtype=jnp.float32)
+    v = jnp.arange(H, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, v)
+    # Unnormalized camera ray with z = 1 → ray parameter t equals z-depth.
+    dir_cam = jnp.stack(
+        [(uu - cam.cu) / cam.fu, (vv - cam.cv) / cam.fv, jnp.ones_like(uu)], axis=-1
+    )
+    R = se3.quat_to_matrix(se3.rotation_quat(pose))
+    o = se3.translation(pose)
+    d = jnp.einsum("ij,hwj->hwi", R, dir_cam)
+
+    # Exit-t of a ray starting inside the box (slab method).
+    safe_d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t_hi = (box_max - o) / safe_d
+    t_lo = (box_min - o) / safe_d
+    t_far = jnp.maximum(t_hi, t_lo)          # per-axis exit t
+    t = jnp.min(t_far, axis=-1)              # first wall hit
+    t = jnp.maximum(t, 1e-3)
+
+    hit = o + t[..., None] * d
+    gray = texture3d(hit, seed)
+    depth = t  # z-depth because dir_cam z-component is 1
+    return gray, depth
+
+
+def orbit_trajectory(n_frames: int, radius: float = 0.8, height_amp: float = 0.15,
+                     yaw_amp: float = 0.35, dtype=jnp.float32):
+    """Smooth looping trajectory inside the room: lateral arc + small yaw.
+
+    Returns (n_frames, 7) camera→world poses. Motion magnitudes are chosen so
+    consecutive frames overlap heavily (like a handheld TUM sequence).
+    """
+    s = jnp.linspace(0.0, 2.0 * jnp.pi, n_frames, dtype=dtype)
+    t = jnp.stack(
+        [radius * jnp.sin(s), height_amp * jnp.sin(2.0 * s), 0.4 * jnp.cos(s) - 0.5],
+        axis=-1,
+    )
+    yaw = yaw_amp * jnp.sin(s)
+    pitch = 0.1 * jnp.cos(2.0 * s)
+    qz = jnp.stack([jnp.cos(yaw / 2), jnp.zeros_like(yaw), jnp.sin(yaw / 2),
+                    jnp.zeros_like(yaw)], axis=-1)  # yaw about y
+    qx = jnp.stack([jnp.cos(pitch / 2), jnp.sin(pitch / 2), jnp.zeros_like(yaw),
+                    jnp.zeros_like(yaw)], axis=-1)  # pitch about x
+    q = se3.quat_mul(qz, qx)
+    return se3.make_pose(t, q)
+
+
+def render_sequence(cam: CameraConfig, poses, seed: int = 7):
+    """Render a whole trajectory with lax.map (memory-bounded): returns
+    (grays (N,H,W), depths (N,H,W))."""
+    def step(pose):
+        return render_frame(cam, pose, seed=seed)
+
+    return jax.lax.map(step, poses)
+
+
+def synthetic_sequence(cam: CameraConfig, n_frames: int = 30, seed: int = 7,
+                       motion: str = "orbit"):
+    """Convenience: (grays, depths, gt_poses) as numpy arrays."""
+    if motion == "orbit":
+        poses = orbit_trajectory(n_frames)
+    elif motion == "static":
+        poses = jnp.tile(se3.identity(), (n_frames, 1))
+    else:
+        raise ValueError(motion)
+    grays, depths = render_sequence(cam, poses, seed=seed)
+    return np.asarray(grays), np.asarray(depths), np.asarray(poses)
