@@ -63,7 +63,7 @@ class DetectorConfig:
     grid_cols: int = 8               # gridCols in matcher XML
     n_pyramid_levels: int = 4        # ORB scale pyramid depth
     scale_factor: float = 1.41421356 # per-level downscale (sqrt(2))
-    nms_radius: int = 7              # DBScan-equivalent declustering radius (dbscan.cpp:79-123)
+    nms_radius: int = 3              # DBScan-equivalent declustering radius (dbscan.cpp:79-123)
     patch_size: int = 32             # descriptor patch (rBRIEF standard)
     border: int = 20                 # keypoint exclusion border
 
@@ -225,7 +225,9 @@ def tiny_test_config() -> SlamConfig:
                             width=128, height=96),
         detector=DetectorConfig(max_features=128, grid_rows=3, grid_cols=4,
                                 n_pyramid_levels=2, border=8),
-        ransac=RansacConfig(n_hypotheses=128),
+        # the tiny camera has fu≈80: 1 px ≈ 37 mm at 3 m, so the Euclidean
+        # inlier gate must be correspondingly looser than the fr1 default
+        ransac=RansacConfig(n_hypotheses=128, inlier_threshold_euclidean=0.10),
         map=MapConfig(max_landmarks=512, max_keyframes=32),
         backend=BackendConfig(max_pose_pose_edges=64, max_observations=4096,
                               pcg_iterations=32),

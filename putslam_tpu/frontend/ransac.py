@@ -1,0 +1,134 @@
+"""Hypothesis-parallel RANSAC for SE(3) from 3D-3D correspondences.
+
+TPU-native replacement for the reference's sequential adaptive RANSAC
+(reference: src/TransformEst/RANSAC.cpp:50-174 — depth-validity prefilter
+:64-74, 3-pair sampling :180-205, Umeyama fit :207-244, inlier-error models
+:251-436, adaptive iteration count :457-461, best-inlier refit :152-158,
+identity fallback :161-164).
+
+The sequential loop (whose iteration count adapts to the inlier ratio) is
+replaced by a *fixed batch of H hypotheses evaluated at once*: sampling is a
+Gumbel top-k per hypothesis, model fitting is the batched quaternion Kabsch,
+and inlier counting is one (H, N) masked distance computation. H is chosen
+larger than the reference's worst-case adaptive count, so this is strictly
+more robust per call while mapping onto dense TPU compute.
+
+Error models mirror the reference: Euclidean (errorVersion 0), reprojection
+(1), both (2), adaptive depth-scaled Euclidean (4) — RANSAC.cpp:251-436.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from putslam_tpu.config import CameraConfig, RansacConfig
+from putslam_tpu.geometry import camera as camera_mod
+from putslam_tpu.geometry import se3
+from putslam_tpu.ops import kabsch
+
+
+class RansacResult(NamedTuple):
+    pose: jnp.ndarray          # (7,) best SE(3): q_b ≈ T · p_a
+    inliers: jnp.ndarray       # (N,) bool
+    n_inliers: jnp.ndarray     # () int32
+    inlier_ratio: jnp.ndarray  # () float32 — inliers / valid matches
+    ok: jnp.ndarray            # () bool — False → identity fallback applied
+
+
+def _pair_errors(cfg: RansacConfig, cam: Optional[CameraConfig],
+                 T, p, q):
+    """Per-pair error and threshold according to the configured model.
+
+    T: (..., 7); p, q: (N, 3). Returns (err (..., N), thr (..., N))."""
+    pred = se3.apply(T[..., None, :], p)
+    if cfg.error_version == 0:        # Euclidean, RANSAC.cpp:251-281
+        err = jnp.linalg.norm(pred - q, axis=-1)
+        thr = jnp.full_like(err, cfg.inlier_threshold_euclidean)
+    elif cfg.error_version == 4:      # adaptive: threshold grows with depth
+        err = jnp.linalg.norm(pred - q, axis=-1)
+        thr = cfg.inlier_threshold_euclidean * jnp.maximum(q[..., 2], 1.0)
+    elif cfg.error_version == 1:      # reprojection (px), RANSAC.cpp:316-368
+        uv_pred = camera_mod.project(cam, pred)
+        uv_obs = camera_mod.project(cam, q)
+        err = jnp.linalg.norm(uv_pred - uv_obs, axis=-1)
+        thr = jnp.full_like(err, cfg.inlier_threshold_reprojection)
+    elif cfg.error_version == 2:      # Euclidean AND reprojection
+        e1 = jnp.linalg.norm(pred - q, axis=-1)
+        uv_pred = camera_mod.project(cam, pred)
+        uv_obs = camera_mod.project(cam, q)
+        e2 = jnp.linalg.norm(uv_pred - uv_obs, axis=-1)
+        # normalize both to their thresholds; inlier iff both pass
+        err = jnp.maximum(e1 / cfg.inlier_threshold_euclidean,
+                          e2 / cfg.inlier_threshold_reprojection)
+        thr = jnp.ones_like(err)
+    else:
+        raise ValueError(f"unsupported error_version {cfg.error_version}")
+    return err, thr
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def estimate(cfg: RansacConfig, cam: Optional[CameraConfig],
+             key: jax.Array, p: jnp.ndarray, q: jnp.ndarray,
+             valid: jnp.ndarray) -> RansacResult:
+    """Estimate T with q ≈ T·p from masked correspondences.
+
+    p, q: (N, 3) matched 3D points (camera frames A and B); valid: (N,) bool
+    (already includes the depth-validity prefilter, RANSAC.cpp:64-74).
+    """
+    N = p.shape[0]
+    H = cfg.n_hypotheses
+    n_valid = jnp.sum(valid)
+
+    # --- sample `used_pairs` distinct valid indices per hypothesis ---------
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (H, N))
+    _, sample_idx = jax.lax.top_k(logits[None, :] + g, cfg.used_pairs)  # (H, k)
+    ps = p[sample_idx]            # (H, k, 3)
+    qs = q[sample_idx]
+
+    # --- fit all hypotheses at once ---------------------------------------
+    w = jnp.ones((H, cfg.used_pairs), p.dtype)
+    T = kabsch.weighted_kabsch(ps, qs, w)                 # (H, 7)
+
+    # --- score: masked inlier count + mean inlier error -------------------
+    err, thr = _pair_errors(cfg, cam, T, p, q)            # (H, N)
+    inl = (err < thr) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    mean_err = jnp.sum(jnp.where(inl, err, 0.0), axis=-1) / jnp.maximum(counts, 1)
+    # rank by count, tie-break by lower mean inlier error (RANSAC.cpp:438-455)
+    score = counts.astype(jnp.float32) - mean_err / (
+        jnp.max(mean_err) + 1e-6)
+    best = jnp.argmax(score)
+    T_best = T[best]
+    inl_best = inl[best]
+
+    # --- refit on inliers (RANSAC.cpp:152-158), iterated -------------------
+    def refit(carry, _):
+        T_c, inl_c = carry
+        T_n = kabsch.weighted_kabsch(p, q, inl_c.astype(p.dtype))
+        err_n, thr_n = _pair_errors(cfg, cam, T_n, p, q)
+        inl_n = (err_n < thr_n) & valid
+        # keep refit only if it does not lose inliers
+        better = jnp.sum(inl_n) >= jnp.sum(inl_c)
+        T_o = jnp.where(better, T_n, T_c)
+        inl_o = jnp.where(better, inl_n, inl_c)
+        return (T_o, inl_o), None
+
+    (T_best, inl_best), _ = jax.lax.scan(
+        refit, (T_best, inl_best), None, length=cfg.refit_iterations
+    )
+
+    n_inl = jnp.sum(inl_best)
+    ratio = n_inl / jnp.maximum(n_valid, 1)
+    ok = (ratio >= cfg.minimal_inlier_ratio) & (n_valid >= cfg.minimal_num_matches)
+
+    # identity fallback (RANSAC.cpp:161-164)
+    ident = se3.identity(dtype=p.dtype)
+    pose = jnp.where(ok, T_best, ident)
+    inliers = inl_best & ok
+    return RansacResult(pose, inliers, n_inl.astype(jnp.int32),
+                        ratio.astype(jnp.float32), ok)

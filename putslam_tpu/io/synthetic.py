@@ -30,10 +30,15 @@ from putslam_tpu.geometry import se3
 
 
 def _hash3(ix, iy, iz, seed):
+    # NB: float→uint32 of a negative value clamps to 0 in XLA; go through
+    # int32 first so negative cells wrap (two's complement) and still vary.
+    ix = ix.astype(jnp.int32).astype(jnp.uint32)
+    iy = iy.astype(jnp.int32).astype(jnp.uint32)
+    iz = iz.astype(jnp.int32).astype(jnp.uint32)
     h = (
-        ix.astype(jnp.uint32) * jnp.uint32(73856093)
-        ^ iy.astype(jnp.uint32) * jnp.uint32(19349663)
-        ^ iz.astype(jnp.uint32) * jnp.uint32(83492791)
+        ix * jnp.uint32(73856093)
+        ^ iy * jnp.uint32(19349663)
+        ^ iz * jnp.uint32(83492791)
         ^ jnp.uint32(seed) * jnp.uint32(2654435761)
     )
     h = h ^ (h >> 13)
@@ -42,13 +47,24 @@ def _hash3(ix, iy, iz, seed):
     return (h & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
 
 
-def texture3d(p, seed: int = 7):
+def texture3d(p, footprint=None, seed: int = 7):
     """Intensity in [0,1] at world points p (...,3): piecewise-constant cells at
-    three scales (sharp edges → strong FAST corners) + a smooth shading term."""
+    three scales (sharp edges → strong FAST corners) + a smooth shading term.
+
+    ``footprint`` (...,) is the projected pixel size on the surface in world
+    units; octaves whose cells are smaller than the footprint fade out
+    (analytic mipmapping) so the texture stays photoconsistent across
+    viewpoints instead of aliasing at grazing angles."""
     out = 0.0
-    for octave, (scale, weight) in enumerate(((8.0, 0.45), (20.0, 0.3), (55.0, 0.15))):
+    for octave, (scale, weight) in enumerate(((4.0, 0.45), (10.0, 0.3), (24.0, 0.15))):
         g = jnp.floor(p * scale)
-        out = out + weight * _hash3(g[..., 0], g[..., 1], g[..., 2], seed + octave)
+        val = _hash3(g[..., 0], g[..., 1], g[..., 2], seed + octave)
+        if footprint is not None:
+            # cells per pixel footprint; fade to mid-gray as cells alias
+            cpp = footprint * scale
+            fade = jnp.clip((1.0 - cpp) / 0.6, 0.0, 1.0)
+            val = fade * val + (1.0 - fade) * 0.5
+        out = out + weight * val
     # smooth large-scale shading so walls are not uniformly bright
     out = out + 0.1 * (0.5 + 0.5 * jnp.sin(p[..., 0] * 1.7 + p[..., 2] * 0.9))
     return jnp.clip(out, 0.0, 1.0)
@@ -59,19 +75,24 @@ def texture3d(p, seed: int = 7):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def render_frame(cam: CameraConfig, pose, box_min=None, box_max=None, seed: int = 7):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def render_frame(cam: CameraConfig, pose, box_min=None, box_max=None,
+                 supersample: int = 2, seed: int = 7):
     """Render (gray, depth) for a camera pose inside an axis-aligned room.
 
     gray: (H,W) float32 in [0,1]; depth: (H,W) float32 metres (z-depth).
+    ``supersample``: render the intensity at s× resolution and average-pool
+    down (anti-aliasing — mimics camera optics; without it, fine texture
+    shimmers between viewpoints and breaks descriptor photoconsistency).
     """
     if box_min is None:
         box_min = jnp.array([-3.0, -2.0, -3.0])
     if box_max is None:
         box_max = jnp.array([3.0, 2.0, 3.0])
+    ss = supersample
     H, W = cam.height, cam.width
-    u = jnp.arange(W, dtype=jnp.float32)
-    v = jnp.arange(H, dtype=jnp.float32)
+    u = (jnp.arange(W * ss, dtype=jnp.float32) + 0.5) / ss - 0.5
+    v = (jnp.arange(H * ss, dtype=jnp.float32) + 0.5) / ss - 0.5
     uu, vv = jnp.meshgrid(u, v)
     # Unnormalized camera ray with z = 1 → ray parameter t equals z-depth.
     dir_cam = jnp.stack(
@@ -90,7 +111,17 @@ def render_frame(cam: CameraConfig, pose, box_min=None, box_max=None, seed: int 
     t = jnp.maximum(t, 1e-3)
 
     hit = o + t[..., None] * d
-    gray = texture3d(hit, seed)
+    # Pixel footprint on the hit surface: angular pixel size (1/fu at ss×
+    # resolution) × ray length ÷ incidence cosine against the hit wall.
+    axis = jnp.argmin(t_far, axis=-1)
+    n_dot_d = jnp.take_along_axis(jnp.abs(d), axis[..., None], axis=-1)[..., 0]
+    d_norm = jnp.linalg.norm(d, axis=-1)
+    cos_inc = jnp.maximum(n_dot_d / jnp.maximum(d_norm, 1e-9), 0.05)
+    footprint = (t * d_norm) / (cam.fu * ss) / cos_inc
+    gray = texture3d(hit, footprint, seed)
+    if ss > 1:
+        gray = gray.reshape(H, ss, W, ss).mean(axis=(1, 3))
+        t = t.reshape(H, ss, W, ss)[:, 0, :, 0]  # depth: plain subsample
     depth = t  # z-depth because dir_cam z-component is 1
     return gray, depth
 
@@ -104,7 +135,8 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8, height_amp: float = 0.1
     """
     s = jnp.linspace(0.0, 2.0 * jnp.pi, n_frames, dtype=dtype)
     t = jnp.stack(
-        [radius * jnp.sin(s), height_amp * jnp.sin(2.0 * s), 0.4 * jnp.cos(s) - 0.5],
+        [radius * jnp.sin(s), height_amp * jnp.sin(2.0 * s),
+         0.5 * radius * jnp.cos(s) - 0.5],
         axis=-1,
     )
     yaw = yaw_amp * jnp.sin(s)

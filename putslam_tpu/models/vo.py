@@ -1,0 +1,101 @@
+"""Frame-to-frame visual odometry — the minimum end-to-end SLAM slice.
+
+TPU-native replacement for the reference's matching-based VO
+(reference: src/Matcher/matcher.cpp:67-94 ``runVO`` dispatch and :452-516
+``match``: detect → describe → BF cross-check match → lift to 3D → RANSAC;
+driver loop src/PUTSLAM/PUTSLAM.cpp:677-930 with the 0.1 m translation
+sanity gate :735-737 and TUM trajectory output :1006-1016. This is the
+``onlyVO=1`` operating mode of the reference.)
+
+The whole per-frame step — detection, description, Hamming matmul matching,
+1024-hypothesis RANSAC — is one jitted function; a full sequence runs under
+``lax.scan`` so the device never returns to the host between frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from putslam_tpu.config import SlamConfig
+from putslam_tpu.frontend import ransac as ransac_mod
+from putslam_tpu.frontend.detector import Features, detect_and_describe
+from putslam_tpu.geometry import se3
+from putslam_tpu.ops import matching
+
+
+class VOStepResult(NamedTuple):
+    rel_pose: jnp.ndarray      # (7,) T with x_prev ≈ T · x_curr
+    n_matches: jnp.ndarray     # () int32 — valid cross-checked matches
+    n_inliers: jnp.ndarray     # () int32 — RANSAC inliers
+    inlier_ratio: jnp.ndarray  # () float32
+    ok: jnp.ndarray            # () bool — RANSAC accepted (no identity fallback)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def vo_step(cfg: SlamConfig, key: jax.Array, prev: Features, curr: Features
+            ) -> VOStepResult:
+    """Relative pose of the current frame w.r.t. the previous one.
+
+    Correspondences: cross-checked Hamming matches (prev_i ↔ curr_j) with
+    both endpoints depth-valid; estimate T minimizing ‖T·xyz_curr − xyz_prev‖
+    (so new_pose = prev_pose ∘ T)."""
+    dist = matching.hamming_matrix(prev.desc, curr.desc, prev.valid, curr.valid)
+    m = matching.mutual_nn(dist, cfg.matcher.max_hamming)
+    p = curr.xyz[m.idx_b]                 # points in current frame
+    q = prev.xyz                          # corresponding points in prev frame
+    valid = m.valid & prev.has_depth & curr.has_depth[m.idx_b]
+
+    res = ransac_mod.estimate(cfg.ransac, cfg.camera, key, p, q, valid)
+
+    # VO increment sanity gate (PUTSLAM.cpp:735-737): implausible jumps → identity
+    too_far = jnp.linalg.norm(se3.translation(res.pose)) > cfg.max_vo_translation
+    rel = jnp.where(too_far, se3.identity(dtype=res.pose.dtype), res.pose)
+    ok = res.ok & ~too_far
+    return VOStepResult(rel, jnp.sum(valid).astype(jnp.int32),
+                        res.n_inliers, res.inlier_ratio, ok)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def vo_sequence(cfg: SlamConfig, grays: jnp.ndarray, depths: jnp.ndarray,
+                key: jax.Array, init_pose=None
+                ) -> Tuple[jnp.ndarray, VOStepResult]:
+    """Run VO over a whole stacked sequence under one ``lax.scan``.
+
+    grays/depths: (T, H, W). Returns (poses (T, 7) world←camera, per-step
+    stats stacked over T−1 steps). The first pose is ``init_pose`` (default
+    identity — the reference takes it from the dataset's initialPosition,
+    fileGrabber.cpp:223-237)."""
+    if init_pose is None:
+        init_pose = se3.identity(dtype=grays.dtype)
+    first = detect_and_describe(cfg, grays[0], depths[0])
+
+    def step(carry, frame):
+        prev_feat, pose, k = carry
+        gray, depth = frame
+        k, sub = jax.random.split(k)
+        feat = detect_and_describe(cfg, gray, depth)
+        res = vo_step(cfg, sub, prev_feat, feat)
+        pose_new = se3.compose(pose, res.rel_pose)
+        return (feat, pose_new, k), (pose_new, res)
+
+    (_, _, _), (poses, stats) = jax.lax.scan(
+        step, (first, init_pose, key), (grays[1:], depths[1:])
+    )
+    all_poses = jnp.concatenate([init_pose[None], poses], axis=0)
+    return all_poses, stats
+
+
+def run_vo(cfg: SlamConfig, grays, depths, seed: int = 0, init_pose=None):
+    """Host-facing wrapper: numpy in, numpy out."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed)
+    g = jnp.asarray(grays)
+    d = jnp.asarray(depths)
+    ip = None if init_pose is None else jnp.asarray(init_pose)
+    poses, stats = vo_sequence(cfg, g, d, key, ip)
+    return np.asarray(poses), jax.tree.map(np.asarray, stats)

@@ -1,0 +1,165 @@
+"""FAST corner detection as dense whole-image VPU ops.
+
+TPU-native replacement for the reference's cv::FastFeatureDetector /
+cv::ORB detection with per-grid-cell response capping
+(reference: src/Matcher/matcherOpenCV.cpp:97-180 — ``detectFeatures`` with
+gridRows×gridCols cells, per-cell response sort + cap; DBScan declustering
+src/Matcher/dbscan.cpp:79-123).
+
+Instead of per-pixel branching, the segment test runs as a stack of shifted
+image comparisons — pure elementwise arithmetic over the full frame, which XLA
+fuses into a handful of VPU loops. Non-max suppression is a windowed max;
+the detection cap is per-cell top-k followed by a global top-k (exactly the
+grid policy of the reference, but branch-free).
+
+All outputs are fixed-capacity arrays + validity masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 — the 16 FAST offsets in clockwise order.
+FAST_OFFSETS = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+ARC_LENGTH = 9  # FAST-9: at least 9 contiguous circle pixels pass the test
+
+
+def _shift2d(img, dx: int, dy: int):
+    """Shift image content by (-dy, -dx) so result[y, x] = img[y+dy, x+dx],
+    zero-padded at borders. Static shifts → XLA pad+slice, no gather."""
+    H, W = img.shape
+    y0, y1 = max(dy, 0), H + min(dy, 0)
+    x0, x1 = max(dx, 0), W + min(dx, 0)
+    core = img[y0:y1, x0:x1]
+    return jnp.pad(core, ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))))
+
+
+def fast_score_map(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9 corner response for every pixel of ``gray`` (H, W) in [0, 1].
+
+    ``threshold`` is on the 0..255 intensity scale (reference config scale).
+    Returns (H, W) float32 scores; 0 where the segment test fails. The score
+    is the sum over circle pixels of the excess |I(q) − I(p)| − t for the
+    passing polarity (a standard SAD-style FAST score used for NMS ranking).
+    """
+    img = gray * 255.0
+    t = jnp.float32(threshold)
+    # diffs[k] = I(p + offset_k) − I(p), for all p at once
+    diffs = jnp.stack([_shift2d(img, dx, dy) for (dx, dy) in FAST_OFFSETS]) - img[None]
+    bright = diffs > t            # (16, H, W)
+    dark = diffs < -t
+
+    def has_arc(flags):
+        # contiguous run of ARC_LENGTH among the 16 wrap-around positions:
+        # for each start s, AND of flags[s..s+8]; implemented as a sum == 9.
+        acc = jnp.zeros_like(flags, dtype=jnp.int32)  # (16, H, W) run sums
+        f = flags.astype(jnp.int32)
+        for j in range(ARC_LENGTH):
+            acc = acc + jnp.roll(f, -j, axis=0)
+        return jnp.any(acc == ARC_LENGTH, axis=0)
+
+    is_bright = has_arc(bright)
+    is_dark = has_arc(dark)
+    excess_b = jnp.sum(jnp.maximum(diffs - t, 0.0), axis=0)
+    excess_d = jnp.sum(jnp.maximum(-diffs - t, 0.0), axis=0)
+    score = jnp.where(is_bright, excess_b, 0.0) + jnp.where(is_dark, excess_d, 0.0)
+    # kill the 3-px border where the circle leaves the image
+    H, W = gray.shape
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    inside = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
+    return jnp.where(inside, score, 0.0)
+
+
+def nms(score: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Keep strict local maxima within a (2r+1)² window (the DBScan-style
+    declustering of dbscan.cpp:79-123 as a windowed max)."""
+    w = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (w, w), (1, 1), "SAME"
+    )
+    return jnp.where((score >= pooled) & (score > 0.0), score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def grid_topk(score: jnp.ndarray, grid_rows: int, grid_cols: int,
+              max_features: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Grid-capped detection (matcherOpenCV.cpp:118-180): per-cell top-k by
+    response, then global top-``max_features``.
+
+    Returns (uv (K,2) float32 [u, v], response (K,), valid (K,) bool), sorted
+    by descending response; invalid slots have response 0 and uv (-1, -1).
+    """
+    H, W = score.shape
+    cell_h = -(-H // grid_rows)
+    cell_w = -(-W // grid_cols)
+    Hp, Wp = cell_h * grid_rows, cell_w * grid_cols
+    padded = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
+    # (rows, cols, cell_h*cell_w)
+    cells = padded.reshape(grid_rows, cell_h, grid_cols, cell_w)
+    cells = cells.transpose(0, 2, 1, 3).reshape(grid_rows * grid_cols, cell_h * cell_w)
+    k_cell = min(-(-max_features // (grid_rows * grid_cols)) * 2, cell_h * cell_w)
+    cell_scores, cell_idx = jax.lax.top_k(cells, k_cell)  # (G, k_cell)
+
+    # recover absolute pixel coordinates of per-cell winners
+    g = jnp.arange(grid_rows * grid_cols)[:, None]
+    cy = (g // grid_cols) * cell_h + cell_idx // cell_w
+    cx = (g % grid_cols) * cell_w + cell_idx % cell_w
+
+    flat_scores = cell_scores.reshape(-1)
+    flat_u = cx.reshape(-1).astype(jnp.float32)
+    flat_v = cy.reshape(-1).astype(jnp.float32)
+    k = min(max_features, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    uv = jnp.stack([flat_u[top_idx], flat_v[top_idx]], axis=-1)
+    valid = top_scores > 0.0
+    uv = jnp.where(valid[:, None], uv, -1.0)
+    if k < max_features:
+        pad = max_features - k
+        uv = jnp.pad(uv, ((0, pad), (0, 0)), constant_values=-1.0)
+        top_scores = jnp.pad(top_scores, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return uv, jnp.where(valid, top_scores, 0.0), valid
+
+
+def subpixel_refine(score: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic (parabola) sub-pixel refinement of keypoint locations on the
+    response map (the reference gets sub-pixel implicitly through KLT /
+    patch Gauss-Newton, src/Matcher/MatchingOnPatches.cpp; here a 3×3 fit).
+
+    uv: (K, 2) integer-valued float coords → refined float coords, offsets
+    clamped to ±0.5 px."""
+    H, W = score.shape
+    u = jnp.clip(uv[:, 0].astype(jnp.int32), 1, W - 2)
+    v = jnp.clip(uv[:, 1].astype(jnp.int32), 1, H - 2)
+
+    def grab(du, dv):
+        return score[v + dv, u + du]
+
+    s_c = grab(0, 0)
+    dx = 0.5 * (grab(1, 0) - grab(-1, 0))
+    dy = 0.5 * (grab(0, 1) - grab(0, -1))
+    dxx = grab(1, 0) - 2 * s_c + grab(-1, 0)
+    dyy = grab(0, 1) - 2 * s_c + grab(0, -1)
+    ou = jnp.where(jnp.abs(dxx) > 1e-6, -dx / dxx, 0.0)
+    ov = jnp.where(jnp.abs(dyy) > 1e-6, -dy / dyy, 0.0)
+    ou = jnp.clip(ou, -0.5, 0.5)
+    ov = jnp.clip(ov, -0.5, 0.5)
+    return uv + jnp.stack([ou, ov], axis=-1)
+
+
+def detect(gray: jnp.ndarray, threshold: float, nms_radius: int,
+           grid_rows: int, grid_cols: int, max_features: int):
+    """fast_score_map → nms → grid_topk → subpixel refine, one call."""
+    raw = fast_score_map(gray, threshold)
+    s = nms(raw, nms_radius)
+    uv, resp, valid = grid_topk(s, grid_rows, grid_cols, max_features)
+    uv = jnp.where(valid[:, None], subpixel_refine(raw, uv), uv)
+    return uv, resp, valid

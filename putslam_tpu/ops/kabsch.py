@@ -1,0 +1,79 @@
+"""Batched closed-form rigid alignment (weighted Kabsch/Horn), no LAPACK.
+
+TPU-native replacement for the reference's per-hypothesis Umeyama call
+(reference: src/TransformEst/kabschEst.cpp:24-68 — centroids, 3×3
+cross-covariance, Jacobi SVD with a sign fix; Eigen::umeyama at
+src/TransformEst/RANSAC.cpp:224-226).
+
+Instead of an SVD per hypothesis, we use Horn's quaternion method: the
+optimal rotation is the dominant eigenvector of a symmetric 4×4 matrix built
+from the cross-covariance. The eigenvector is found with a fixed number of
+shifted power iterations — pure batched matvecs, so thousands of hypotheses
+solve in a single fused pass (vs the reference's sequential RANSAC loop,
+RANSAC.cpp:87-150).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from putslam_tpu.geometry import se3
+
+
+def weighted_kabsch(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray,
+                    iters: int = 30) -> jnp.ndarray:
+    """Find poses T = (R, t) minimizing Σ wᵢ ‖R·pᵢ + t − qᵢ‖² per batch row.
+
+    p, q: (..., n, 3); w: (..., n) nonnegative weights (use the inlier mask).
+    Returns (..., 7) poses. Degenerate inputs (all-zero weights, collinear
+    points) produce a valid unit quaternion (possibly identity) rather than
+    NaN, so downstream masking decides acceptance.
+    """
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    wn = w / wsum
+    p_bar = jnp.sum(wn[..., None] * p, axis=-2)
+    q_bar = jnp.sum(wn[..., None] * q, axis=-2)
+    pc = p - p_bar[..., None, :]
+    qc = q - q_bar[..., None, :]
+    # S = Σ w · pc qcᵀ  (3×3 cross-covariance)
+    S = jnp.einsum("...n,...ni,...nj->...ij", wn, pc, qc)
+
+    Sxx, Sxy, Sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    Syx, Syy, Syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
+    Szx, Szy, Szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    # Horn's symmetric 4×4; dominant eigenvector = quaternion of R (q: p→q).
+    K = jnp.stack(
+        [
+            Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx,
+            Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz,
+            Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy,
+            Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz,
+        ],
+        axis=-1,
+    ).reshape(S.shape[:-2] + (4, 4))
+
+    # Shift to make the dominant eigenvalue the largest in magnitude and
+    # positive: K + cI with c = row-sum bound (Gershgorin) keeps it PSD-ish.
+    c = jnp.sum(jnp.abs(K), axis=(-1, -2))[..., None, None] / 4.0 + 1e-6
+    B = K + c * jnp.eye(4, dtype=K.dtype)
+
+    # Power iteration with renormalization; init biased off axes to avoid
+    # starting orthogonal to the solution.
+    v = jnp.broadcast_to(
+        jnp.array([1.0, 0.31, 0.17, 0.083], K.dtype), K.shape[:-2] + (4,)
+    )
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", B, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+    quat = jnp.where(v[..., 0:1] < 0, -v, v)  # canonical sign, (w,x,y,z)
+    quat = se3.quat_normalize(quat)
+    t = q_bar - se3.quat_rotate(quat, p_bar)
+    return se3.make_pose(t, quat)
+
+
+def alignment_residuals(T: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """‖T·p − q‖ per pair, broadcasting T (..., 7) over points (..., n, 3)."""
+    pred = se3.apply(T[..., None, :], p)
+    return jnp.linalg.norm(pred - q, axis=-1)

@@ -1,0 +1,208 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putslam_tpu.config import tiny_test_config
+from putslam_tpu.geometry import se3
+from putslam_tpu.ops import brief, fast, kabsch, matching
+
+
+def make_corner_image(H=96, W=128, corners=((30, 40), (60, 90), (20, 100))):
+    """Bright rectangles on dark background → corners at known spots."""
+    img = np.zeros((H, W), np.float32)
+    for (cy, cx) in corners:
+        img[cy:cy + 14, cx:cx + 18] = 1.0
+    return img
+
+
+def test_fast_finds_rect_corners():
+    img = make_corner_image()
+    score = np.asarray(fast.fast_score_map(jnp.asarray(img), 20.0))
+    # responses concentrated near rectangle corners; none in flat areas
+    assert score.max() > 0
+    ys, xs = np.nonzero(score)
+    # every detection within 3 px of a rectangle corner
+    corners = []
+    for (cy, cx) in ((30, 40), (60, 90), (20, 100)):
+        corners += [(cy, cx), (cy, cx + 17), (cy + 13, cx), (cy + 13, cx + 17)]
+    corners = np.array(corners)
+    for y, x in zip(ys, xs):
+        d = np.abs(corners - np.array([y, x])).max(axis=1).min()
+        assert d <= 3, (y, x)
+
+
+def test_fast_flat_image_no_corners():
+    img = jnp.full((64, 64), 0.5)
+    assert float(fast.fast_score_map(img, 10.0).max()) == 0.0
+
+
+def test_fast_matches_opencv_on_synthetic():
+    """Sanity parity with cv2.FastFeatureDetector on a textured image:
+    detection sets should overlap heavily (not exact: score defs differ)."""
+    import cv2
+
+    from putslam_tpu.config import tiny_test_config
+    from putslam_tpu.io import synthetic
+
+    cfg = tiny_test_config()
+    gray, _ = synthetic.render_frame(cfg.camera, se3.identity())
+    img8 = (np.asarray(gray) * 255).astype(np.uint8)
+    det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=True)
+    kps = det.detect(img8, None)
+    cv_pts = np.array([k.pt for k in kps]) if kps else np.zeros((0, 2))
+
+    score = np.asarray(fast.fast_score_map(jnp.asarray(gray), 20.0))
+    ours = score > 0
+    if len(cv_pts):
+        hits = 0
+        for (x, y) in cv_pts:
+            y0, x0 = int(round(y)), int(round(x))
+            if ours[max(0, y0 - 1):y0 + 2, max(0, x0 - 1):x0 + 2].any():
+                hits += 1
+        # our segment test should fire near at least 80% of OpenCV's corners
+        assert hits / len(cv_pts) > 0.8, (hits, len(cv_pts))
+
+
+def test_nms_keeps_local_maxima():
+    s = jnp.zeros((32, 32)).at[10, 10].set(5.0).at[10, 12].set(3.0).at[25, 25].set(2.0)
+    out = np.asarray(fast.nms(s, 2))
+    assert out[10, 10] == 5.0
+    assert out[10, 12] == 0.0  # suppressed by stronger neighbor
+    assert out[25, 25] == 2.0
+
+
+def test_grid_topk_caps_and_sorts():
+    H, W = 60, 80
+    s = np.zeros((H, W), np.float32)
+    rng = np.random.default_rng(1)
+    ys = rng.integers(0, H, 200)
+    xs = rng.integers(0, W, 200)
+    s[ys, xs] = rng.uniform(1, 10, 200)
+    uv, resp, valid = fast.grid_topk(jnp.asarray(s), 3, 4, 64)
+    uv, resp, valid = map(np.asarray, (uv, resp, valid))
+    assert valid.sum() > 0
+    # sorted descending
+    r = resp[valid.astype(bool)]
+    assert (np.diff(r) <= 1e-6).all()
+    # reported scores match the map at reported locations
+    for (u, v), rr in zip(uv[valid.astype(bool)], r):
+        assert abs(s[int(v), int(u)] - rr) < 1e-5
+
+
+def test_orientation_rotates_with_patch():
+    """Rotating the patch by φ shifts the intensity-centroid angle by φ."""
+    P = brief.PATCH
+    yy, xx = np.mgrid[0:P, 0:P].astype(np.float32)
+    cx = cy = (P - 1) / 2
+    base = np.exp(-(((xx - cx) - 8) ** 2 + (yy - cy) ** 2) / 20.0)  # blob at +x
+    ang0 = float(brief.orientations(jnp.asarray(base[None]))[0])
+    assert abs(ang0) < 0.1
+    # blob at +y (90°)
+    rot = np.exp(-((xx - cx) ** 2 + ((yy - cy) - 8) ** 2) / 20.0)
+    ang90 = float(brief.orientations(jnp.asarray(rot[None]))[0])
+    assert abs(ang90 - np.pi / 2) < 0.1
+
+
+def test_brief_descriptor_rotation_invariance():
+    """Steered BRIEF: descriptor of a rotated patch ≈ descriptor of original."""
+    rng = np.random.default_rng(3)
+    big = rng.uniform(0, 1, (200, 200)).astype(np.float32)
+    import scipy.ndimage as ndi
+
+    big_s = ndi.gaussian_filter(big, 2.0)
+    ang_deg = 30.0
+    rot = ndi.rotate(big_s, -ang_deg, reshape=False, order=1)
+    c = 100
+    p0 = big_s[c - 16:c + 16, c - 16:c + 16]
+    p1 = rot[c - 16:c + 16, c - 16:c + 16]
+    a0 = brief.orientations(jnp.asarray(p0[None]))
+    a1 = brief.orientations(jnp.asarray(p1[None]))
+    d0 = np.asarray(brief.steered_brief(jnp.asarray(p0[None]), a0))[0]
+    d1 = np.asarray(brief.steered_brief(jnp.asarray(p1[None]), a1))[0]
+    ham = int((d0 != d1).sum())
+    assert ham < 70, ham  # well below random (128)
+
+
+def test_describe_and_hamming_matching_end_to_end():
+    from putslam_tpu.io import synthetic
+
+    cfg = tiny_test_config()
+    gray, depth = synthetic.render_frame(cfg.camera, se3.identity())
+    uv, resp, valid = fast.detect(gray, 20.0, 3, 3, 4, 64)
+    desc, ang = brief.describe(gray, uv, valid)
+    assert desc.shape == (64, 256) and desc.dtype == jnp.int8
+    # self-matching must be identity with zero distance
+    dist = matching.hamming_matrix(desc, desc, valid, valid)
+    m = matching.mutual_nn(dist, max_dist=10)
+    nv = int(np.asarray(valid).sum())
+    assert nv > 10
+    mi = np.asarray(m.idx_b)[np.asarray(valid)]
+    expected = np.nonzero(np.asarray(valid))[0]
+    # identical descriptors can tie (repetitive texture); allow a few
+    assert (mi == expected).mean() > 0.95
+    assert (np.asarray(m.dist)[np.asarray(valid)] == 0).all()
+
+
+def test_hamming_matrix_correct():
+    rng = np.random.default_rng(0)
+    a = rng.choice([-1, 1], size=(16, 256)).astype(np.int8)
+    b = rng.choice([-1, 1], size=(24, 256)).astype(np.int8)
+    d = np.asarray(matching.hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
+    expect = ((a[:, None, :] != b[None, :, :]).sum(-1)).astype(np.float32)
+    np.testing.assert_allclose(d, expect)
+
+
+def test_pack_bits_roundtrip_popcount():
+    rng = np.random.default_rng(0)
+    a = rng.choice([-1, 1], size=(8, 256)).astype(np.int8)
+    packed = np.asarray(brief.pack_bits(jnp.asarray(a)))
+    assert packed.shape == (8, 8) and packed.dtype == np.uint32
+    # popcount of packed xor == hamming
+    x = packed[0] ^ packed[1]
+    pc = sum(bin(int(w)).count("1") for w in x)
+    expect = int((a[0] != a[1]).sum())
+    assert pc == expect
+
+
+def test_kabsch_exact_recovery(rng):
+    T_true = jnp.asarray(
+        np.concatenate([
+            rng.normal(0, 0.5, 3),
+            np.array([0.9, 0.1, -0.3, 0.2]) / np.linalg.norm([0.9, 0.1, -0.3, 0.2]),
+        ]).astype(np.float32)
+    )
+    p = jnp.asarray(rng.normal(0, 1, (32, 3)).astype(np.float32))
+    q = se3.apply(T_true, p)
+    T_est = kabsch.weighted_kabsch(p, q, jnp.ones((32,)))
+    np.testing.assert_allclose(np.asarray(se3.translation(T_est)),
+                               np.asarray(se3.translation(T_true)), atol=1e-4)
+    dq = np.asarray(se3.quat_mul(se3.quat_conj(se3.rotation_quat(T_est)),
+                                 se3.rotation_quat(T_true)))
+    assert abs(dq[0]) > 0.99999
+
+
+def test_kabsch_weighted_ignores_outliers(rng):
+    T_true = se3.exp(jnp.asarray([0.1, -0.2, 0.05, 0.2, 0.1, -0.15], dtype=jnp.float32))
+    p = jnp.asarray(rng.normal(0, 1, (64, 3)).astype(np.float32))
+    q = se3.apply(T_true, p)
+    q = q.at[:10].add(jnp.asarray(rng.normal(0, 5, (10, 3)).astype(np.float32)))
+    w = jnp.ones((64,)).at[:10].set(0.0)
+    T_est = kabsch.weighted_kabsch(p, q, w)
+    np.testing.assert_allclose(np.asarray(T_est), np.asarray(T_true), atol=1e-4)
+
+
+def test_kabsch_batched(rng):
+    xi = jnp.asarray(rng.normal(0, 0.3, (16, 6)).astype(np.float32))
+    T_true = se3.exp(xi)
+    p = jnp.asarray(rng.normal(0, 1, (16, 20, 3)).astype(np.float32))
+    q = se3.apply(T_true[:, None, :], p)
+    T_est = kabsch.weighted_kabsch(p, q, jnp.ones((16, 20)))
+    err = np.asarray(kabsch.alignment_residuals(T_est, p, q))
+    assert err.max() < 1e-3
+
+
+def test_kabsch_degenerate_no_nan():
+    p = jnp.zeros((8, 3))
+    q = jnp.zeros((8, 3))
+    T = kabsch.weighted_kabsch(p, q, jnp.zeros((8,)))
+    assert np.isfinite(np.asarray(T)).all()
