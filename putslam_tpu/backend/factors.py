@@ -1,0 +1,97 @@
+"""Factor residuals, analytic Jacobians, and robust kernels.
+
+TPU-native replacement for the reference's g2o edge types
+(reference: 3rdParty/g2o — ``EDGE_SE3_TRACKXYZ`` (pose-landmark 3D point),
+``EDGE_SE3:QUAT`` (relative pose), the custom 2-pixel reprojection edge
+3rdParty/g2o/g2o/types/slam3d/edge_se3_pointxyz_reprojectionError.h:27-94;
+robust-kernel switching graph_g2o.cpp:367-383).
+
+All factors are evaluated for *every* edge at once via batched closed forms;
+robust weights are returned as scalar multipliers on the (already weighted)
+squared error, applied as sqrt-weights on J and r (IRLS form).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from putslam_tpu.geometry import se3
+
+
+# ---------------------------------------------------------------------------
+# Pose-landmark 3D observation: r = T_kf⁻¹(l_world) − z_cam  ∈ R³
+# ---------------------------------------------------------------------------
+
+
+def obs_residual(kf_pose, lm_world, z_cam):
+    """(...,7), (...,3), (...,3) → (...,3)."""
+    p_cam = se3.apply(se3.inverse(kf_pose), lm_world)
+    return p_cam - z_cam
+
+
+def obs_jacobians(kf_pose, lm_world) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic Jacobians of the 3D observation residual.
+
+    Right-perturbation T → T∘exp(ξ), ξ = [ρ, φ]:
+        ∂r/∂ξ  = [−I₃ | skew(p_cam)]          (3×6)
+        ∂r/∂l  = Rᵀ                            (3×3)
+    """
+    R = se3.quat_to_matrix(se3.rotation_quat(kf_pose))
+    p_cam = se3.apply(se3.inverse(kf_pose), lm_world)
+    J_pose = jnp.concatenate(
+        [jnp.broadcast_to(-jnp.eye(3, dtype=kf_pose.dtype),
+                          p_cam.shape[:-1] + (3, 3)),
+         se3.skew(p_cam)], axis=-1)
+    J_lm = jnp.swapaxes(R, -1, -2)
+    return J_pose, J_lm
+
+
+# ---------------------------------------------------------------------------
+# Pose-pose relative motion: r = log(Z⁻¹ ∘ T_i⁻¹ ∘ T_j) ∈ R⁶
+# ---------------------------------------------------------------------------
+
+
+def pp_residual(pose_i, pose_j, z_rel):
+    return se3.log(se3.compose(se3.inverse(z_rel),
+                               se3.compose(se3.inverse(pose_i), pose_j)))
+
+
+def pp_jacobians(pose_i, pose_j, z_rel) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jacobians of the relative-motion residual w.r.t. right perturbations
+    of T_i and T_j, computed by batched forward-mode autodiff through the
+    exact log map (exact where g2o linearizes by hand; edge counts are small
+    so the extra FLOPs are negligible)."""
+
+    def r_of(xi_i, xi_j, Ti, Tj, Z):
+        return pp_residual(se3.retract(Ti, xi_i), se3.retract(Tj, xi_j), Z)
+
+    zeros = jnp.zeros(pose_i.shape[:-1] + (6,), pose_i.dtype)
+    Ji = jax.vmap(
+        lambda Ti, Tj, Z, z: jax.jacfwd(lambda a: r_of(a, z, Ti, Tj, Z))(z)
+    )(pose_i, pose_j, z_rel, zeros)
+    Jj = jax.vmap(
+        lambda Ti, Tj, Z, z: jax.jacfwd(lambda b: r_of(z, b, Ti, Tj, Z))(z)
+    )(pose_i, pose_j, z_rel, zeros)
+    return Ji, Jj
+
+
+# ---------------------------------------------------------------------------
+# Robust kernels (graph_g2o.cpp:367-383; Cauchy is the reference's default
+# robust mode, PUTSLAM.h:92)
+# ---------------------------------------------------------------------------
+
+
+def robust_weight(sq_err: jnp.ndarray, kind: str, delta: float) -> jnp.ndarray:
+    """IRLS weight w(e²) such that the robustified normal equations use
+    w·J, w·r. ``sq_err`` is the weighted squared error per edge."""
+    if kind == "none":
+        return jnp.ones_like(sq_err)
+    if kind == "cauchy":
+        return 1.0 / (1.0 + sq_err / (delta * delta))
+    if kind == "huber":
+        e = jnp.sqrt(jnp.maximum(sq_err, 1e-20))
+        return jnp.where(e <= delta, 1.0, delta / e)
+    raise ValueError(f"unknown robust kernel {kind!r}")

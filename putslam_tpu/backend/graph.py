@@ -1,0 +1,116 @@
+"""Fixed-capacity factor-graph storage.
+
+TPU-native replacement for the reference's g2o graph wrapper
+(reference: src/PoseGraph/graph_g2o.cpp — vertex/edge insertion through
+factory strings :162-364, buffered async insertion :595-677, first-vertex
+gauge fix :184-186). Vertices live in ``MapState`` (keyframe poses) and the
+landmark arrays; this module holds the *edges* as flat arrays with masks:
+
+* pose→landmark observations (``EDGE_SE3_TRACKXYZ`` / Edge3D — a measured
+  3D point in the observing camera's frame, featuresMap.cpp:281-282),
+* pose→pose relative-motion edges (``EDGE_SE3:QUAT``, PUTSLAM.cpp:814-821).
+
+Appending is a masked scatter; capacity exhaustion saturates (oldest edges
+are retained — compaction/marginalization handles reclamation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class GraphState(NamedTuple):
+    # --- pose-landmark observations -------------------------------------
+    obs_kf: jnp.ndarray     # (M,) int32 keyframe index
+    obs_lm: jnp.ndarray     # (M,) int32 landmark index
+    obs_xyz: jnp.ndarray    # (M, 3) measured point, observing-camera frame
+    obs_w: jnp.ndarray      # (M,) float32 scalar information weight
+    obs_gen: jnp.ndarray    # (M,) int32 landmark-slot generation at insert time
+    obs_valid: jnp.ndarray  # (M,) bool
+    n_obs: jnp.ndarray      # () int32 total ever appended (write cursor)
+    # --- pose-pose edges -------------------------------------------------
+    pp_i: jnp.ndarray       # (E,) int32
+    pp_j: jnp.ndarray       # (E,) int32
+    pp_rel: jnp.ndarray     # (E, 7) measured T_i⁻¹∘T_j
+    pp_w: jnp.ndarray       # (E,) float32
+    pp_valid: jnp.ndarray   # (E,) bool
+    n_pp: jnp.ndarray       # () int32
+
+    @property
+    def obs_capacity(self) -> int:
+        return self.obs_kf.shape[0]
+
+    @property
+    def pp_capacity(self) -> int:
+        return self.pp_i.shape[0]
+
+
+def init_graph(max_observations: int, max_pose_pose: int,
+               dtype=jnp.float32) -> GraphState:
+    M, E = max_observations, max_pose_pose
+    return GraphState(
+        obs_kf=jnp.zeros((M,), jnp.int32),
+        obs_lm=jnp.zeros((M,), jnp.int32),
+        obs_xyz=jnp.zeros((M, 3), dtype),
+        obs_w=jnp.zeros((M,), dtype),
+        obs_gen=jnp.zeros((M,), jnp.int32),
+        obs_valid=jnp.zeros((M,), bool),
+        n_obs=jnp.int32(0),
+        pp_i=jnp.zeros((E,), jnp.int32),
+        pp_j=jnp.zeros((E,), jnp.int32),
+        pp_rel=jnp.zeros((E, 7), dtype).at[:, 3].set(1.0),
+        pp_w=jnp.zeros((E,), dtype),
+        pp_valid=jnp.zeros((E,), bool),
+        n_pp=jnp.int32(0),
+    )
+
+
+def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
+                     gen=None) -> GraphState:
+    """Append up to len(mask) observations (masked). Slots are assigned at
+    the write cursor modulo capacity (ring; old entries overwritten only
+    after capacity wraps — mirrors the bounded optimization window of
+    marginalizeMeasurements, featuresMap.cpp:1056-1104)."""
+    M = g.obs_capacity
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.mod(g.n_obs + rank, M)
+    safe_slot = jnp.where(mask, slot, M)  # M = out-of-range drop via clip
+    safe_slot = jnp.clip(safe_slot, 0, M - 1)
+    return g._replace(
+        obs_kf=g.obs_kf.at[safe_slot].set(
+            jnp.where(mask, kf_idx, g.obs_kf[safe_slot])),
+        obs_lm=g.obs_lm.at[safe_slot].set(
+            jnp.where(mask, lm_idx, g.obs_lm[safe_slot])),
+        obs_xyz=g.obs_xyz.at[safe_slot].set(
+            jnp.where(mask[:, None], xyz, g.obs_xyz[safe_slot])),
+        obs_w=g.obs_w.at[safe_slot].set(
+            jnp.where(mask, weight, g.obs_w[safe_slot])),
+        obs_gen=g.obs_gen.at[safe_slot].set(
+            jnp.where(mask, gen if gen is not None else 0, g.obs_gen[safe_slot])),
+        obs_valid=g.obs_valid.at[safe_slot].set(
+            jnp.where(mask, True, g.obs_valid[safe_slot])),
+        n_obs=g.n_obs + jnp.sum(mask.astype(jnp.int32)),
+    )
+
+
+def add_pose_pose(g: GraphState, i, j, rel, weight, valid=True) -> GraphState:
+    """Append one pose-pose edge (VO increment; PUTSLAM.cpp:814-821)."""
+    E = g.pp_capacity
+    slot = jnp.mod(g.n_pp, E)
+    v = jnp.asarray(valid)
+    return g._replace(
+        pp_i=g.pp_i.at[slot].set(jnp.where(v, i, g.pp_i[slot])),
+        pp_j=g.pp_j.at[slot].set(jnp.where(v, j, g.pp_j[slot])),
+        pp_rel=g.pp_rel.at[slot].set(jnp.where(v, rel, g.pp_rel[slot])),
+        pp_w=g.pp_w.at[slot].set(jnp.where(v, weight, g.pp_w[slot])),
+        pp_valid=g.pp_valid.at[slot].set(jnp.where(v, True, g.pp_valid[slot])),
+        n_pp=g.n_pp + v.astype(jnp.int32),
+    )
+
+
+def prune_observations(g: GraphState, drop_mask: jnp.ndarray) -> GraphState:
+    """Disable observations (chi²-based edge pruning, graph_g2o.cpp:1394-1505
+    ``optimizeAndPrune`` — implemented as a mask clear, no memory motion)."""
+    return g._replace(obs_valid=g.obs_valid & ~drop_mask)

@@ -155,6 +155,9 @@ class BackendConfig:
     robust_delta: float = 1.0
     huber_delta: float = 0.1
     chi2_ratio_termination: float = 0.999  # graph_g2o.cpp:888-908 convergence loop
+    # normalized-chi² threshold for dropping observation edges after BA
+    # (optimizeAndPrune / edges3DPrunningThreshold, graph_g2o.cpp:1394-1505)
+    chi2_prune_threshold: float = 25.0
     optimize_every_n_frames: int = 5
     error_type: int = 0                   # 0 euclidean Edge3D, 1 reprojection
 
@@ -204,6 +207,10 @@ class SlamConfig:
     vo_version: int = 0                    # 0 matching, 1 tracking (VOVersion)
     # VO translation sanity gate → identity increment (PUTSLAM.cpp:735-737).
     max_vo_translation: float = 0.1
+    # Map-matching pose correction sanity gate: reject absolute-pose fixes
+    # further than this from the VO prediction (same spirit as the VO gate;
+    # junk guided matches can otherwise assemble a confident wrong pose).
+    max_map_correction: float = 0.08
     get_visible_features_graph_max_depth: int = 2
     dtype: str = "float32"
 

@@ -1,0 +1,251 @@
+"""The full SLAM engine: VO + global feature map + bundle adjustment.
+
+TPU-native replacement for the reference's orchestrator and thread pipeline
+(reference: src/PUTSLAM/PUTSLAM.cpp:677-930 front-end loop — VO, map pose
+read, covisible-feature fetch, guided matching with retry :788-798,
+pose-pose vs pose-feature edge policy :814-838, feature provisioning
+:845-891; the background optimization thread featuresMap.cpp:881-1026 runs
+here as a synchronous, deterministic BA every N frames — OPTTHREAD_ATEND
+style determinism with OPTTHREAD_ON cadence).
+
+The entire per-frame step — including the (conditionally executed) Schur
+BA — is one jitted ``lax.scan`` body carrying a ``SlamState`` value. The
+"pose read = optimized prefix ∘ odometry suffix" contract
+(featuresMap.cpp:610-627) appears as re-anchoring the live pose on the
+last keyframe after each BA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from putslam_tpu.backend import graph as graph_mod
+from putslam_tpu.backend import optimize as opt_mod
+from putslam_tpu.config import SlamConfig
+from putslam_tpu.frontend import ransac as ransac_mod
+from putslam_tpu.frontend.detector import Features, detect_and_describe
+from putslam_tpu.geometry import se3
+from putslam_tpu.models import vo as vo_mod
+from putslam_tpu.slam_map import features_map as fm
+
+
+class SlamState(NamedTuple):
+    map: fm.MapState
+    graph: graph_mod.GraphState
+    prev_feat: Features
+    pose: jnp.ndarray        # (7,) current camera→world
+    last_kf_idx: jnp.ndarray # () int32 ring index of the last keyframe
+    last_kf_pose: jnp.ndarray  # (7,) its pose at creation (for re-anchoring)
+    frames_since_kf: jnp.ndarray  # () int32
+    frame_idx: jnp.ndarray   # () int32
+    key: jax.Array
+
+
+class SlamOutputs(NamedTuple):
+    pose: jnp.ndarray
+    vo_ok: jnp.ndarray
+    map_ok: jnp.ndarray
+    n_map_matches: jnp.ndarray
+    n_map_inliers: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    ba_ran: jnp.ndarray
+    chi2: jnp.ndarray
+    n_landmarks: jnp.ndarray
+
+
+def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
+              seed: int = 0) -> SlamState:
+    """First frame (processFirstFrame, PUTSLAM.cpp:315-333): detect, create
+    keyframe 0, provision initial landmarks."""
+    if init_pose is None:
+        init_pose = se3.identity()
+    init_pose = jnp.asarray(init_pose)
+    feat = detect_and_describe(cfg, jnp.asarray(gray), jnp.asarray(depth))
+    m = fm.init_map(cfg)
+    m, kf_idx = fm.add_keyframe(cfg, m, init_pose, jnp.float32(1.0))
+    m = fm.add_landmarks(cfg, m, init_pose, feat,
+                         jnp.zeros((feat.capacity,), bool), kf_idx)
+    g = graph_mod.init_graph(cfg.backend.max_observations,
+                             cfg.backend.max_pose_pose_edges)
+    # anchor observations of the initial landmarks to keyframe 0 (only
+    # features that actually became landmarks — the provisioning cap may
+    # have dropped some)
+    lm_idx, lm_dist = _landmark_indices_for(m, init_pose, feat)
+    g = graph_mod.add_observations(
+        g, jnp.full((feat.capacity,), kf_idx, jnp.int32),
+        lm_idx,
+        feat.xyz, jnp.full((feat.capacity,), _obs_info(cfg)),
+        feat.has_depth & (lm_dist < 1e-4),
+        gen=m.lm_gen[lm_idx])
+    return SlamState(
+        map=m, graph=g, prev_feat=feat, pose=init_pose,
+        last_kf_idx=kf_idx, last_kf_pose=init_pose,
+        frames_since_kf=jnp.int32(0), frame_idx=jnp.int32(1),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def _obs_info(cfg: SlamConfig) -> float:
+    """Scalar information weight for 3D observations: 1/σ² with σ matched to
+    the front-end inlier gate (the reference's useUncertainty=false mode uses
+    identity information, graph weights; we normalize so chi² per good edge
+    is O(1) and Cauchy δ=1 behaves like g2o's)."""
+    sigma = cfg.ransac.inlier_threshold_euclidean / 2.0
+    return 1.0 / (sigma * sigma)
+
+
+def _landmark_indices_for(m: fm.MapState, pose, feat: Features):
+    """After provisioning, find for each feature the landmark slot whose
+    world position equals its lifted position (used only at init).
+    Returns (indices (N,), distances (N,))."""
+    xyz_w = se3.apply(pose, feat.xyz)
+    d = jnp.linalg.norm(xyz_w[:, None, :] - m.lm_pos[None, :, :], axis=-1)
+    d = jnp.where(m.lm_valid[None, :], d, jnp.inf)
+    return jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
+              ) -> Tuple[SlamState, SlamOutputs]:
+    key, k_vo, k_map = jax.random.split(state.key, 3)
+    feat = detect_and_describe(cfg, gray, depth)
+
+    # ---- 1. frame-to-frame VO prediction --------------------------------
+    vo_res = vo_mod.vo_step(cfg, k_vo, state.prev_feat, feat)
+    pose_pred = se3.compose(state.pose, vo_res.rel_pose)
+
+    # ---- 2. guided map matching (matchXYZ) + absolute pose RANSAC -------
+    gm = fm.guided_match(cfg, state.map, pose_pred, feat)
+    p_cam = feat.xyz[jnp.clip(gm.feat_idx, 0, feat.capacity - 1)]
+    res_map = ransac_mod.estimate(
+        cfg.ransac, cfg.camera, k_map, p_cam, state.map.lm_pos, gm.valid)
+    # res_map.pose maps camera points to world = absolute pose of the frame.
+    # Sanity gate: a confident-but-wrong pose from junk guided matches must
+    # not displace the VO prediction (analog of the VO gate PUTSLAM.cpp:735).
+    correction = jnp.linalg.norm(
+        se3.translation(res_map.pose) - se3.translation(pose_pred))
+    map_ok = res_map.ok & (correction < cfg.max_map_correction)
+    pose_new = jnp.where(map_ok, res_map.pose, pose_pred)
+    matched_lm = gm.valid & res_map.inliers & map_ok
+
+    # ---- 3. keyframe decision (covisibility, featuresMap.cpp:292-333) ---
+    covis = fm.covisibility_ratio(gm._replace(valid=matched_lm), state.map,
+                                  state.last_kf_idx)
+    n_matched = jnp.sum(matched_lm)
+    is_kf = (
+        (covis < cfg.map.covisibility_keyframe)
+        | (n_matched < cfg.map.add_features_when_measurements_less_than)
+    ) & (state.frames_since_kf >= cfg.map.min_frames_between_keyframes) \
+        & (vo_res.ok | map_ok)  # never keyframe a fully-failed step
+
+    # ---- 4. keyframe bookkeeping (branchless, masked by is_kf) ----------
+    m = state.map
+    m2, kf_idx_new = fm.add_keyframe(cfg, m, pose_new, covis)
+    m2 = fm.update_matched_landmarks(
+        cfg, m2, pose_new, feat,
+        gm._replace(valid=matched_lm & is_kf), kf_idx_new)
+    feat_matched_mask = jnp.zeros((feat.capacity,), bool).at[
+        jnp.clip(gm.feat_idx, 0, feat.capacity - 1)].max(matched_lm)
+    m2 = fm.add_landmarks(cfg, m2, pose_new, feat,
+                          feat_matched_mask | ~is_kf, kf_idx_new)
+    m = jax.tree.map(lambda a, b: jnp.where(
+        jnp.reshape(is_kf, (1,) * a.ndim), b, a) if a.ndim > 0
+        else jnp.where(is_kf, b, a), m, m2)
+
+    g = state.graph
+    # pose-feature measurements (featuresMap addMeasurements analog): the
+    # measurement is the *observed* 3D point in the camera frame (p_cam)
+    g = graph_mod.add_observations(
+        g, jnp.full((state.map.capacity,), kf_idx_new, jnp.int32),
+        jnp.arange(state.map.capacity, dtype=jnp.int32),
+        p_cam,
+        jnp.full((state.map.capacity,), _obs_info(cfg)),
+        matched_lm & is_kf,
+        gen=m.lm_gen)
+    # pose-pose odometry edge between consecutive keyframes
+    rel_kf = se3.relative(state.last_kf_pose, pose_new)
+    add_pp = is_kf & (n_matched < cfg.map.max_measurements_pose_to_pose) \
+        if cfg.map.add_pose_to_pose_edges else jnp.asarray(False)
+    g = graph_mod.add_pose_pose(
+        g, jnp.mod(state.last_kf_idx, m.kf_pose.shape[0]), kf_idx_new,
+        rel_kf, jnp.float32(100.0), add_pp)
+
+    # ---- 5. periodic bundle adjustment ----------------------------------
+    n_kf = m.n_kf
+    do_ba = is_kf & (jnp.mod(n_kf, cfg.backend.optimize_every_n_frames) == 0) \
+        & (n_kf > 2)
+
+    def run_ba(operand):
+        m_in, g_in = operand
+        fixed = jnp.zeros((m_in.kf_pose.shape[0],), bool).at[0].set(True)
+        res = opt_mod.gauss_newton(
+            cfg.backend, m_in.kf_pose, m_in.kf_valid,
+            m_in.lm_pos, m_in.lm_valid, g_in, fixed,
+            lm_gen=m_in.lm_gen)
+        # chi²-outlier edge pruning (optimizeAndPrune, graph_g2o.cpp:1394)
+        drop = res.obs_sq_err > cfg.backend.chi2_prune_threshold
+        return res.kf_pose, res.lm_pos, res.chi2, drop
+
+    def skip_ba(operand):
+        m_in, g_in = operand
+        return (m_in.kf_pose, m_in.lm_pos,
+                jnp.zeros((cfg.backend.gn_iterations,), jnp.float32),
+                jnp.zeros_like(g_in.obs_valid))
+
+    kf_pose_opt, lm_pos_opt, chi2, drop_obs = jax.lax.cond(
+        do_ba, run_ba, skip_ba, (m, g))
+    m = m._replace(kf_pose=kf_pose_opt, lm_pos=lm_pos_opt)
+    g = graph_mod.prune_observations(g, drop_obs)
+
+    # re-anchor the live pose on the (possibly moved) last keyframe:
+    # pose = kf_new ∘ (kf_old⁻¹ ∘ pose)  (featuresMap.cpp:610-627 contract)
+    kf_ring = jnp.where(is_kf, kf_idx_new, jnp.mod(state.last_kf_idx,
+                                                   m.kf_pose.shape[0]))
+    kf_pose_before = jnp.where(is_kf, pose_new, state.last_kf_pose)
+    kf_pose_after = m.kf_pose[kf_ring]
+    pose_out = se3.compose(kf_pose_after,
+                           se3.compose(se3.inverse(kf_pose_before), pose_new))
+
+    state_new = SlamState(
+        map=m, graph=g, prev_feat=feat, pose=pose_out,
+        last_kf_idx=jnp.where(is_kf, kf_idx_new, state.last_kf_idx),
+        last_kf_pose=jnp.where(is_kf, kf_pose_after, state.last_kf_pose),
+        frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1),
+        frame_idx=state.frame_idx + 1,
+        key=key,
+    )
+    outs = SlamOutputs(
+        pose=pose_out, vo_ok=vo_res.ok, map_ok=map_ok,
+        n_map_matches=gm.n_candidates, n_map_inliers=n_matched.astype(jnp.int32),
+        is_keyframe=is_kf, ba_ran=do_ba, chi2=chi2,
+        n_landmarks=jnp.sum(m.lm_valid).astype(jnp.int32),
+    )
+    return state_new, outs
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def slam_sequence(cfg: SlamConfig, state: SlamState, grays, depths):
+    """Run the full SLAM loop over stacked frames under one lax.scan."""
+
+    def body(s, frame):
+        return slam_step(cfg, s, frame[0], frame[1])
+
+    return jax.lax.scan(body, state, (grays, depths))
+
+
+def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0):
+    """Host wrapper: returns (poses (T,7) numpy, outputs, final_state)."""
+    import numpy as np
+
+    g = jnp.asarray(grays)
+    d = jnp.asarray(depths)
+    state = slam_init(cfg, g[0], d[0], init_pose, seed)
+    state, outs = slam_sequence(cfg, state, g[1:], d[1:])
+    poses = np.concatenate([
+        np.asarray(init_pose if init_pose is not None else se3.identity())[None],
+        np.asarray(outs.pose)], axis=0)
+    return poses, jax.tree.map(np.asarray, outs), state

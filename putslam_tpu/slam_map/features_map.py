@@ -1,0 +1,275 @@
+"""Fixed-capacity global feature map with keyframes and covisibility.
+
+TPU-native replacement for the reference's ``FeaturesMap``
+(reference: src/Map/featuresMap.cpp — feature store ``map<int,MapFeature>``
+with ids from 100000 featuresMap.h:23; camera trajectory + keyframe decision
+by covisibility :292-333; covisibility ``WeightedGraph``
+src/PoseGraph/weightedGraph.h:30-97; multi-descriptor management with 30°
+view-angle gating :1172-1213; feature ``lifeValue`` aging :474-516; the
+triple-buffered thread views are unnecessary here — the map is a pure value
+threaded through the jitted SLAM step).
+
+Everything is a fixed-capacity array + mask: landmarks never move in memory;
+allocation scatters into invalid slots; deletion just clears the mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from putslam_tpu.config import SlamConfig
+from putslam_tpu.frontend.detector import Features
+from putslam_tpu.geometry import se3
+
+DESC_BITS = 256
+
+
+class MapState(NamedTuple):
+    """The SLAM map: landmarks + keyframes + covisibility."""
+
+    # --- landmarks -------------------------------------------------------
+    lm_pos: jnp.ndarray        # (L, 3) world positions
+    lm_desc: jnp.ndarray       # (L, D, 256) int8 ±1 multi-view descriptors
+    lm_view_dir: jnp.ndarray   # (L, D, 3) unit camera→landmark dir per slot (world)
+    lm_slot_used: jnp.ndarray  # (L, D) bool
+    lm_octave: jnp.ndarray     # (L,) int32 octave at first detection
+    lm_life: jnp.ndarray       # (L,) float32 lifeValue
+    lm_n_obs: jnp.ndarray      # (L,) int32 measurement count
+    lm_last_kf: jnp.ndarray    # (L,) int32 last keyframe that observed it
+    lm_valid: jnp.ndarray      # (L,) bool
+    lm_gen: jnp.ndarray        # (L,) int32 slot generation — bumped on reuse so
+                               # stale graph observations of a recycled slot
+                               # can be detected (no pointer-lifetime bugs)
+    # --- keyframes -------------------------------------------------------
+    kf_pose: jnp.ndarray       # (K, 7) camera→world
+    kf_valid: jnp.ndarray      # (K,) bool
+    n_kf: jnp.ndarray          # () int32 — next keyframe index
+    covis: jnp.ndarray         # (K, K) float32 covisibility weights
+
+    @property
+    def capacity(self) -> int:
+        return self.lm_pos.shape[0]
+
+
+def init_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
+    L = cfg.map.max_landmarks
+    D = cfg.map.descriptor_views
+    K = cfg.map.max_keyframes
+    return MapState(
+        lm_pos=jnp.zeros((L, 3), dtype),
+        lm_desc=jnp.zeros((L, D, DESC_BITS), jnp.int8),
+        lm_view_dir=jnp.zeros((L, D, 3), dtype),
+        lm_slot_used=jnp.zeros((L, D), bool),
+        lm_octave=jnp.zeros((L,), jnp.int32),
+        lm_life=jnp.zeros((L,), dtype),
+        lm_n_obs=jnp.zeros((L,), jnp.int32),
+        lm_last_kf=jnp.full((L,), -1, jnp.int32),
+        lm_valid=jnp.zeros((L,), bool),
+        lm_gen=jnp.zeros((L,), jnp.int32),
+        kf_pose=jnp.tile(se3.identity(dtype=dtype), (K, 1)),
+        kf_valid=jnp.zeros((K,), bool),
+        n_kf=jnp.int32(0),
+        covis=jnp.zeros((K, K), dtype),
+    )
+
+
+class GuidedMatchResult(NamedTuple):
+    """matchXYZ output: per-landmark correspondence into the current frame."""
+
+    feat_idx: jnp.ndarray    # (L,) int32 — matched frame-feature index
+    dist: jnp.ndarray        # (L,) float32 — descriptor distance
+    valid: jnp.ndarray       # (L,) bool — gated + accepted
+    n_candidates: jnp.ndarray  # () int32 — landmarks that had any candidate
+
+
+def guided_match(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
+                 feat: Features, radius_scale: float = 1.0
+                 ) -> GuidedMatchResult:
+    """Scale-aware guided map→frame matching (``matchXYZ``,
+    matcher.cpp:606-798): for each visible landmark, candidate frame features
+    are gated by a 3D sphere (|Δxyz| < matchingXYZSphereRadius, :699-711) and
+    an octave window (±1), then the best Hamming distance wins and is
+    accepted together with everything within ratio-of-best — here we keep
+    the best candidate per landmark (the extra ratio-mates add little once
+    RANSAC re-filters; the acceptance gate below mirrors the ratio test).
+
+    All L×N pair distances come from one MXU matmul over the multi-view
+    descriptor slots (min over slots ≈ the nearest-view descriptor selection
+    of findNearestFrame, featuresMap.cpp:528-563).
+    """
+    mc = cfg.matcher
+    L, D, _ = m.lm_desc.shape
+    N = feat.capacity
+
+    # landmarks in current camera frame under the pose guess
+    lm_cam = se3.apply(se3.inverse(pose_guess), m.lm_pos)            # (L, 3)
+
+    # 3D sphere gate against every frame feature
+    d3 = jnp.linalg.norm(lm_cam[:, None, :] - feat.xyz[None, :, :], axis=-1)
+    radius = mc.matching_xyz_sphere_radius * radius_scale
+    gate = (d3 < radius) & m.lm_valid[:, None] & feat.has_depth[None, :]
+
+    # octave gate ±octave_window (matcher.cpp:699-711)
+    d_oct = jnp.abs(m.lm_octave[:, None] - feat.octave[None, :])
+    gate &= d_oct <= mc.octave_window
+
+    # descriptor distances: (N, 256) x (256, L*D) on the MXU, min over slots
+    dots = jax.lax.dot_general(
+        feat.desc, m.lm_desc.reshape(L * D, DESC_BITS),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(N, L, D)                                               # (N, L, D)
+    ham = 0.5 * (DESC_BITS - dots.astype(jnp.float32))
+    ham = jnp.where(m.lm_slot_used[None, :, :], ham, jnp.inf)
+    desc_dist = jnp.min(ham, axis=-1).T                              # (L, N)
+
+    dist = jnp.where(gate, desc_dist, jnp.inf)
+    best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)            # (L,)
+    best = jnp.min(dist, axis=1)
+    # acceptance: absolute Hamming gate ≈ the ratio-of-best acceptance
+    ok = jnp.isfinite(best) & (best <= mc.max_hamming)
+    n_cand = jnp.sum(jnp.any(jnp.isfinite(dist), axis=1)).astype(jnp.int32)
+    return GuidedMatchResult(best_idx, jnp.where(ok, best, jnp.inf), ok, n_cand)
+
+
+def _allocate_slots(free_mask: jnp.ndarray, want: jnp.ndarray,
+                    max_add: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pair the first ``max_add`` wanted candidates with free slots.
+
+    Returns (cand_idx, slot_idx), both (max_add,) int32; -1 marks unused
+    entries (no more candidates or map full)."""
+    slot_free_idx = jnp.nonzero(free_mask, size=max_add, fill_value=-1)[0]
+    cand_idx = jnp.nonzero(want, size=max_add, fill_value=-1)[0]
+    ok = (cand_idx >= 0) & (slot_free_idx >= 0)
+    return (jnp.where(ok, cand_idx, -1).astype(jnp.int32),
+            jnp.where(ok, slot_free_idx, -1).astype(jnp.int32))
+
+
+def add_landmarks(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
+                  feat: Features, already_matched: jnp.ndarray,
+                  kf_idx: jnp.ndarray) -> MapState:
+    """Provision new landmarks from unmatched depth-valid features
+    (``chooseFeaturesToAddToMap``, PUTSLAM.cpp:98-178): depth gate 0.8–6 m
+    behavior via has_depth, skip features matched to the map, skip features
+    too close to an existing landmark (minEuclideanDistanceOfFeatures
+    :117-178 / O(n²) dedup matcher.cpp:886-974), cap maxOnceFeatureAdd."""
+    mp = cfg.map
+    L = m.capacity
+
+    xyz_w = se3.apply(pose, feat.xyz)                               # (N, 3)
+    # proximity gate against existing landmarks (masked full distance matrix)
+    d = jnp.linalg.norm(xyz_w[:, None, :] - m.lm_pos[None, :, :], axis=-1)
+    d = jnp.where(m.lm_valid[None, :], d, jnp.inf)
+    too_close = jnp.min(d, axis=1) < mp.min_euclidean_distance_of_features
+
+    want = feat.has_depth & ~already_matched & ~too_close
+    cand_idx, slot_idx = _allocate_slots(~m.lm_valid, want, mp.max_once_feature_add)
+    ok = slot_idx >= 0
+    safe_cand = jnp.maximum(cand_idx, 0)
+    safe_slot = jnp.maximum(slot_idx, 0)
+
+    view_dir = xyz_w[safe_cand] - se3.translation(pose)[None, :]
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
+
+    lm_pos = m.lm_pos.at[safe_slot].set(
+        jnp.where(ok[:, None], xyz_w[safe_cand], m.lm_pos[safe_slot]))
+    lm_desc = m.lm_desc.at[safe_slot, 0].set(
+        jnp.where(ok[:, None], feat.desc[safe_cand], m.lm_desc[safe_slot, 0]))
+    lm_view_dir = m.lm_view_dir.at[safe_slot, 0].set(
+        jnp.where(ok[:, None], view_dir, m.lm_view_dir[safe_slot, 0]))
+    lm_slot_used = m.lm_slot_used.at[safe_slot, 0].set(
+        jnp.where(ok, True, m.lm_slot_used[safe_slot, 0]))
+    lm_octave = m.lm_octave.at[safe_slot].set(
+        jnp.where(ok, feat.octave[safe_cand], m.lm_octave[safe_slot]))
+    lm_life = m.lm_life.at[safe_slot].set(
+        jnp.where(ok, mp.life_value_init, m.lm_life[safe_slot]))
+    lm_n_obs = m.lm_n_obs.at[safe_slot].set(
+        jnp.where(ok, 1, m.lm_n_obs[safe_slot]))
+    lm_last_kf = m.lm_last_kf.at[safe_slot].set(
+        jnp.where(ok, kf_idx, m.lm_last_kf[safe_slot]))
+    lm_valid = m.lm_valid.at[safe_slot].set(
+        jnp.where(ok, True, m.lm_valid[safe_slot]))
+    lm_gen = m.lm_gen.at[safe_slot].add(jnp.where(ok, 1, 0))
+    # clear descriptor slots beyond 0 for the recycled landmark
+    lm_slot_used = lm_slot_used.at[safe_slot, 1:].set(
+        jnp.where(ok[:, None], False, lm_slot_used[safe_slot, 1:]))
+    return m._replace(
+        lm_pos=lm_pos, lm_desc=lm_desc, lm_view_dir=lm_view_dir,
+        lm_slot_used=lm_slot_used, lm_octave=lm_octave, lm_life=lm_life,
+        lm_n_obs=lm_n_obs, lm_last_kf=lm_last_kf, lm_valid=lm_valid,
+        lm_gen=lm_gen,
+    )
+
+
+def update_matched_landmarks(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
+                             feat: Features, gm: GuidedMatchResult,
+                             kf_idx: jnp.ndarray) -> MapState:
+    """Bookkeeping for matched landmarks: life bonus (+5 on measurement,
+    featuresMap.cpp:1212), observation counts, and a new descriptor slot if
+    the view angle differs by > view_angle_new_descriptor from every stored
+    slot (30° gate, featuresMap.cpp:1172-1213)."""
+    mp = cfg.map
+    L, D, _ = m.lm_desc.shape
+    matched = gm.valid                                              # (L,)
+    fidx = jnp.clip(gm.feat_idx, 0, feat.capacity - 1)
+
+    lm_life = jnp.where(matched, m.lm_life + mp.life_value_measurement_bonus,
+                        m.lm_life - mp.life_value_decay * m.lm_valid)
+    lm_n_obs = m.lm_n_obs + matched.astype(jnp.int32)
+    lm_last_kf = jnp.where(matched, kf_idx, m.lm_last_kf)
+
+    # view direction now (world frame)
+    vd = m.lm_pos - se3.translation(pose)[None, :]
+    vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
+    cosang = jnp.einsum("ldk,lk->ld", m.lm_view_dir, vd)            # (L, D)
+    cosang = jnp.where(m.lm_slot_used, cosang, -1.0)
+    novel = jnp.max(cosang, axis=-1) < jnp.cos(mp.view_angle_new_descriptor)
+    free_slot = jnp.argmin(m.lm_slot_used.astype(jnp.int32), axis=-1)
+    can_store = ~jnp.all(m.lm_slot_used, axis=-1)
+    store = matched & novel & can_store
+
+    lidx = jnp.arange(L)
+    new_desc = feat.desc[fidx]                                      # (L, 256)
+    lm_desc = m.lm_desc.at[lidx, free_slot].set(
+        jnp.where(store[:, None], new_desc, m.lm_desc[lidx, free_slot]))
+    lm_view_dir = m.lm_view_dir.at[lidx, free_slot].set(
+        jnp.where(store[:, None], vd, m.lm_view_dir[lidx, free_slot]))
+    lm_slot_used = m.lm_slot_used.at[lidx, free_slot].set(
+        jnp.where(store, True, m.lm_slot_used[lidx, free_slot]))
+
+    # landmark death: life exhausted (weak-feature removal analog)
+    lm_valid = m.lm_valid & (lm_life > 0.0)
+    return m._replace(lm_desc=lm_desc, lm_view_dir=lm_view_dir,
+                      lm_slot_used=lm_slot_used, lm_life=lm_life,
+                      lm_n_obs=lm_n_obs, lm_last_kf=lm_last_kf,
+                      lm_valid=lm_valid)
+
+
+def add_keyframe(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
+                 covis_with_prev: jnp.ndarray) -> Tuple[MapState, jnp.ndarray]:
+    """Append a keyframe (bounded ring: indices mod K) and record the
+    covisibility edge to the previous keyframe (weightedGraph.h:30-97)."""
+    K = m.kf_pose.shape[0]
+    idx = jnp.mod(m.n_kf, K)
+    prev = jnp.mod(m.n_kf - 1, K)
+    kf_pose = m.kf_pose.at[idx].set(pose)
+    kf_valid = m.kf_valid.at[idx].set(True)
+    covis = m.covis.at[idx, prev].set(covis_with_prev)
+    covis = covis.at[prev, idx].set(covis_with_prev)
+    return m._replace(kf_pose=kf_pose, kf_valid=kf_valid,
+                      n_kf=m.n_kf + 1, covis=covis), idx
+
+
+def covisibility_ratio(gm: GuidedMatchResult, m: MapState,
+                       last_kf: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of currently-matched landmarks that were already observed at
+    the last keyframe — the keyframe trigger (featuresMap.cpp:292-333)."""
+    seen_before = m.lm_last_kf == last_kf
+    both = jnp.sum((gm.valid & seen_before).astype(jnp.float32))
+    now = jnp.maximum(jnp.sum(gm.valid.astype(jnp.float32)), 1.0)
+    return both / now
