@@ -147,14 +147,20 @@ def gauss_newton(bcfg: BackendConfig,
         # --- solve + back-substitute --------------------------------------
         dc = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(S, lower=True), b_red)  # (K6,)
+        # robustness guard (g2o-style): a failed factorization or a blown-up
+        # step must never poison the state — skip the update instead
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        step_ok = jnp.all(jnp.abs(dc) < 1e3)
+        dc = jnp.where(step_ok, dc, 0.0)
         # δl = H_ll⁻¹ (b_l − H_lc δc)
         Hlc_dc = jnp.einsum("kla,k->la",
                             Hcl.reshape(K * 6, L, 3), dc)        # (L,3)
         dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
 
+        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
         new_pose = se3.retract(kf_pose, dc.reshape(K, 6))
         new_pose = jnp.where(frozen[:, None], kf_pose, new_pose)
-        moved = lm_valid & (jnp.abs(dl).max(axis=-1) < 1e3)     # NaN/blowup guard
+        moved = lm_valid & (jnp.abs(dl).max(axis=-1) < 1e3)     # blowup guard
         new_lm = jnp.where(moved[:, None], lm_pos + dl, lm_pos)
         return (new_pose, new_lm), chi2
 

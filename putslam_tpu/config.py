@@ -121,6 +121,7 @@ class MapConfig:
     descriptor_views: int = 4             # multi-descriptor slots (featuresMap.cpp:1172-1213)
     view_angle_new_descriptor: float = 0.5236  # 30 deg gate for a new descriptor slot
     covisibility_keyframe: float = 0.9    # new keyframe when covisibility < thr (featuresMap.cpp:292-333)
+    min_keyframe_matches: int = 30        # also keyframe when map matches drop below this
     marginalization_thr: float = 0.3      # marginalize when covisibility < thr
     min_frames_between_keyframes: int = 0
     max_frames_window: int = 250          # maxFramesNo
@@ -136,7 +137,9 @@ class MapConfig:
     use_uncertainty: bool = False
     life_value_init: float = 10.0          # feature aging (featuresMap.cpp:474-516)
     life_value_measurement_bonus: float = 5.0
-    life_value_decay: float = 1.0
+    # 0 disables aging-death (the reference's default: weakFeatureThr=-1,
+    # putslammapConfig.xml) — long-gap loop closure needs old landmarks alive
+    life_value_decay: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -150,7 +153,7 @@ class BackendConfig:
     gn_iterations: int = 4                # per optimize() call (reference uses 1-iter loop)
     pcg_iterations: int = 64
     pcg_tol: float = 1e-6
-    damping: float = 1e-6                 # LM-style diagonal damping for safety
+    damping: float = 1e-5                 # LM-style relative diagonal damping
     robust_kernel: str = "cauchy"         # "none" | "cauchy" | "huber" (graph_g2o.cpp:367-383)
     robust_delta: float = 1.0
     huber_delta: float = 0.1

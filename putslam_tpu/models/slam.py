@@ -29,6 +29,8 @@ from putslam_tpu.config import SlamConfig
 from putslam_tpu.frontend import ransac as ransac_mod
 from putslam_tpu.frontend.detector import Features, detect_and_describe
 from putslam_tpu.geometry import se3
+from putslam_tpu.loopclosure import bow
+from putslam_tpu.loopclosure import verify as lc_verify
 from putslam_tpu.models import vo as vo_mod
 from putslam_tpu.slam_map import features_map as fm
 
@@ -43,6 +45,11 @@ class SlamState(NamedTuple):
     frames_since_kf: jnp.ndarray  # () int32
     frame_idx: jnp.ndarray   # () int32
     key: jax.Array
+    # --- loop closure (populated only when cfg.loop_closure.enabled) ------
+    kf_sig: jnp.ndarray      # (K, V) BoW signatures per keyframe ring slot
+    sig_valid: jnp.ndarray   # (K,) bool
+    lc_queue: bow.LCQueue    # candidate priority buffer
+    n_lc_edges: jnp.ndarray  # () int32 accepted loop closures
 
 
 class SlamOutputs(NamedTuple):
@@ -81,11 +88,19 @@ def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
         feat.xyz, jnp.full((feat.capacity,), _obs_info(cfg)),
         feat.has_depth & (lm_dist < 1e-4),
         gen=m.lm_gen[lm_idx])
+    K = cfg.map.max_keyframes
+    V = cfg.loop_closure.vocab_size
+    vocab = bow.make_vocab(V)
+    sig0 = bow.signature(vocab, feat.desc, feat.valid)
     return SlamState(
         map=m, graph=g, prev_feat=feat, pose=init_pose,
         last_kf_idx=kf_idx, last_kf_pose=init_pose,
         frames_since_kf=jnp.int32(0), frame_idx=jnp.int32(1),
         key=jax.random.PRNGKey(seed),
+        kf_sig=jnp.zeros((K, V), jnp.float32).at[kf_idx].set(sig0),
+        sig_valid=jnp.zeros((K,), bool).at[kf_idx].set(True),
+        lc_queue=bow.init_queue(cfg.loop_closure.queue_capacity),
+        n_lc_edges=jnp.int32(0),
     )
 
 
@@ -138,7 +153,7 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
     n_matched = jnp.sum(matched_lm)
     is_kf = (
         (covis < cfg.map.covisibility_keyframe)
-        | (n_matched < cfg.map.add_features_when_measurements_less_than)
+        | (n_matched < cfg.map.min_keyframe_matches)
     ) & (state.frames_since_kf >= cfg.map.min_frames_between_keyframes) \
         & (vo_res.ok | map_ok)  # never keyframe a fully-failed step
 
@@ -150,8 +165,15 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
         gm._replace(valid=matched_lm & is_kf), kf_idx_new)
     feat_matched_mask = jnp.zeros((feat.capacity,), bool).at[
         jnp.clip(gm.feat_idx, 0, feat.capacity - 1)].max(matched_lm)
+    # provisioning policy (PUTSLAM.cpp:845-891): add features only when the
+    # visible map or the measurement count is getting thin
+    want_provision = (
+        (gm.n_candidates < cfg.map.add_features_when_map_size_less_than)
+        | (n_matched < cfg.map.add_features_when_measurements_less_than)
+    ) & (jnp.sum(m2.lm_valid) < cfg.map.add_no_features_when_map_size_greater_than)
     m2 = fm.add_landmarks(cfg, m2, pose_new, feat,
-                          feat_matched_mask | ~is_kf, kf_idx_new)
+                          feat_matched_mask | ~(is_kf & want_provision),
+                          kf_idx_new)
     m = jax.tree.map(lambda a, b: jnp.where(
         jnp.reshape(is_kf, (1,) * a.ndim), b, a) if a.ndim > 0
         else jnp.where(is_kf, b, a), m, m2)
@@ -196,6 +218,49 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
                 jnp.zeros((cfg.backend.gn_iterations,), jnp.float32),
                 jnp.zeros_like(g_in.obs_valid))
 
+    # ---- 4b. loop closure (static flag: compiled out when disabled) ------
+    kf_sig = state.kf_sig
+    sig_valid = state.sig_valid
+    lc_queue = state.lc_queue
+    n_lc = state.n_lc_edges
+    if cfg.loop_closure.enabled:
+        key, k_lc = jax.random.split(key)
+        vocab = bow.make_vocab(cfg.loop_closure.vocab_size)
+        sig = bow.signature(vocab, feat.desc, feat.valid)
+        scores = bow.score_against(kf_sig, sig, sig_valid)
+        lc_queue2 = bow.push_candidates(
+            lc_queue, kf_idx_new, scores, m.n_kf,
+            cfg.loop_closure.tail_skip, cfg.loop_closure.min_probability)
+        lc_queue = jax.tree.map(
+            lambda a, b: jnp.where(is_kf, b, a), lc_queue, lc_queue2)
+        kf_sig = kf_sig.at[kf_idx_new].set(
+            jnp.where(is_kf, sig, kf_sig[kf_idx_new]))
+        sig_valid = sig_valid.at[kf_idx_new].set(
+            sig_valid[kf_idx_new] | is_kf)
+
+        # pop + verify one candidate per frame (the PQ-pop contract of the
+        # reference's LC verification thread, featuresMap.cpp:733-873)
+        cand_a, cand_b, cand_p, lc_queue = bow.pop_best(lc_queue)
+        have = jnp.isfinite(cand_p)
+
+        def do_verify(operand):
+            m_in, g_in, ka, kb, k = operand
+            return lc_verify.verify_candidate(cfg, m_in, g_in, ka, kb, k)
+
+        def no_verify(operand):
+            return lc_verify.LCVerifyResult(
+                jnp.asarray(False), se3.identity(),
+                jnp.float32(0.0), jnp.int32(0))
+
+        vres = jax.lax.cond(have, do_verify, no_verify,
+                            (m, g, jnp.maximum(cand_a, 0),
+                             jnp.maximum(cand_b, 0), k_lc))
+        # accepted: pose-pose correction edge A→B with measured rel pose
+        g = graph_mod.add_pose_pose(
+            g, jnp.maximum(cand_a, 0), jnp.maximum(cand_b, 0), vres.rel_pose,
+            jnp.float32(200.0), vres.ok)
+        n_lc = n_lc + vres.ok.astype(jnp.int32)
+
     kf_pose_opt, lm_pos_opt, chi2, drop_obs = jax.lax.cond(
         do_ba, run_ba, skip_ba, (m, g))
     m = m._replace(kf_pose=kf_pose_opt, lm_pos=lm_pos_opt)
@@ -217,6 +282,8 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
         frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1),
         frame_idx=state.frame_idx + 1,
         key=key,
+        kf_sig=kf_sig, sig_valid=sig_valid, lc_queue=lc_queue,
+        n_lc_edges=n_lc,
     )
     outs = SlamOutputs(
         pose=pose_out, vo_ok=vo_res.ok, map_ok=map_ok,

@@ -135,7 +135,9 @@ def _make_steer_bank() -> np.ndarray:
     return bank
 
 
-_STEER_BANK = jnp.asarray(_make_steer_bank())
+# bf16 keeps the MXU at full rate; the descriptor is a sign test, so the
+# ~3-decimal-digit mantissa is ample (bits near zero flip under noise anyway)
+_STEER_BANK = jnp.asarray(_make_steer_bank(), dtype=jnp.bfloat16)
 
 
 def steered_brief(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
@@ -146,7 +148,7 @@ def steered_brief(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     rotating the test pattern by the keypoint angle quantized to N_BINS.
     """
     N = patches.shape[0]
-    flat = patches.reshape(N, PATCH * PATCH)
+    flat = patches.reshape(N, PATCH * PATCH).astype(jnp.bfloat16)
     diffs = jnp.dot(flat, _STEER_BANK,
                     preferred_element_type=jnp.float32)       # (N, B*256)
     diffs = diffs.reshape(N, N_BINS, DESC_BITS)

@@ -57,14 +57,22 @@ def weighted_kabsch(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray,
     c = jnp.sum(jnp.abs(K), axis=(-1, -2))[..., None, None] / 4.0 + 1e-6
     B = K + c * jnp.eye(4, dtype=K.dtype)
 
-    # Power iteration with renormalization; init biased off axes to avoid
-    # starting orthogonal to the solution.
-    v = jnp.broadcast_to(
-        jnp.array([1.0, 0.31, 0.17, 0.083], K.dtype), K.shape[:-2] + (4,)
-    )
-    for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", B, v)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    # Dominant eigenvector via repeated matrix squaring: B^(2^s) amplifies
+    # the eigengap exponentially, so s = 5 squarings ≈ 32 power iterations at
+    # a 6× shorter sequential critical path (everything stays batched 4×4
+    # matmuls). Renormalize each squaring to avoid overflow.
+    n_sq = max(3, (iters + 5) // 6)
+    for _ in range(n_sq):
+        B = jnp.einsum("...ij,...jk->...ik", B, B)
+        B = B / jnp.maximum(
+            jnp.max(jnp.abs(B), axis=(-1, -2), keepdims=True), 1e-30)
+    v = jnp.einsum("...ij,...j->...i", B,
+                   jnp.broadcast_to(jnp.array([1.0, 0.31, 0.17, 0.083],
+                                              K.dtype), K.shape[:-1]))
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    # one exact power step to polish
+    v = jnp.einsum("...ij,...j->...i", B, v)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
     quat = jnp.where(v[..., 0:1] < 0, -v, v)  # canonical sign, (w,x,y,z)
     quat = se3.quat_normalize(quat)

@@ -28,12 +28,15 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     Invalid rows/cols are set to INVALID_DIST so they can never win.
     """
     bits = desc_a.shape[-1]
+    # bf16 is exact for ±1 operands and f32 accumulation is exact up to the
+    # 256-long sums; bf16 keeps the MXU at full rate (int8 paths can lower
+    # to a slower emulation depending on generation)
     dots = jax.lax.dot_general(
-        desc_a, desc_b,
+        desc_a.astype(jnp.bfloat16), desc_b.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
-    dist = 0.5 * (bits - dots.astype(jnp.float32))
+    dist = 0.5 * (bits - dots)
     if valid_a is not None:
         dist = jnp.where(valid_a[:, None], dist, INVALID_DIST)
     if valid_b is not None:

@@ -119,11 +119,12 @@ def guided_match(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
 
     # descriptor distances: (N, 256) x (256, L*D) on the MXU, min over slots
     dots = jax.lax.dot_general(
-        feat.desc, m.lm_desc.reshape(L * D, DESC_BITS),
+        feat.desc.astype(jnp.bfloat16),
+        m.lm_desc.reshape(L * D, DESC_BITS).astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     ).reshape(N, L, D)                                               # (N, L, D)
-    ham = 0.5 * (DESC_BITS - dots.astype(jnp.float32))
+    ham = 0.5 * (DESC_BITS - dots)
     ham = jnp.where(m.lm_slot_used[None, :, :], ham, jnp.inf)
     desc_dist = jnp.min(ham, axis=-1).T                              # (L, N)
 
