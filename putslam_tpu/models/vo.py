@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from putslam_tpu.config import SlamConfig
 from putslam_tpu.frontend import ransac as ransac_mod
 from putslam_tpu.frontend.detector import Features, detect_and_describe
+from putslam_tpu.geometry import camera as camera_mod
 from putslam_tpu.geometry import se3
 from putslam_tpu.ops import matching
 
@@ -89,13 +90,113 @@ def vo_sequence(cfg: SlamConfig, grays: jnp.ndarray, depths: jnp.ndarray,
     return all_poses, stats
 
 
+# ---------------------------------------------------------------------------
+# Tracking-mode VO (VOVersion=1): pyramidal KLT instead of detect+match
+# (reference: matcher.cpp:133-449 ``trackKLT`` — track, RANSAC, refill
+# features when fewer than minimalTrackedFeatures survive :214-279).
+# ---------------------------------------------------------------------------
+
+
+class TrackState(NamedTuple):
+    uv: jnp.ndarray      # (N, 2) tracked feature positions in ``gray``
+    xyz: jnp.ndarray     # (N, 3) camera-frame 3D (at detection frame's depth)
+    valid: jnp.ndarray   # (N,) bool
+    gray: jnp.ndarray    # (H, W) previous frame image
+
+
+def _detect_for_tracking(cfg: SlamConfig, gray, depth):
+    from putslam_tpu.ops import fast as fast_mod
+
+    det = cfg.detector
+    uv, resp, valid = fast_mod.detect(
+        gray, det.fast_threshold, det.nms_radius,
+        det.grid_rows, det.grid_cols, det.max_features)
+    z = camera_mod.sample_depth(depth, uv)
+    uv_und = camera_mod.undistort_pixels(cfg.camera, uv)
+    xyz = camera_mod.unproject(cfg.camera, uv_und, z)
+    valid = valid & camera_mod.depth_valid_mask(cfg.camera, z)
+    return uv, xyz, valid
+
+
+def init_tracking(cfg: SlamConfig, gray, depth) -> TrackState:
+    gray = jnp.asarray(gray)
+    uv, xyz, valid = _detect_for_tracking(cfg, gray, jnp.asarray(depth))
+    return TrackState(uv, xyz, valid, gray)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def vo_step_tracking(cfg: SlamConfig, key: jax.Array, ts: TrackState,
+                     gray, depth) -> Tuple[TrackState, VOStepResult]:
+    from putslam_tpu.ops import klt
+
+    tr = klt.track(cfg.tracker, ts.gray, gray, ts.uv, ts.valid)
+    z = camera_mod.sample_depth(depth, tr.pts)
+    uv_und = camera_mod.undistort_pixels(cfg.camera, tr.pts)
+    xyz_new = camera_mod.unproject(cfg.camera, uv_und, z)
+    valid = tr.valid & camera_mod.depth_valid_mask(cfg.camera, z)
+
+    # T: xyz_prev ≈ T · xyz_new (same convention as matching VO)
+    res = ransac_mod.estimate(cfg.ransac, cfg.camera, key, xyz_new, ts.xyz,
+                              valid)
+    too_far = jnp.linalg.norm(se3.translation(res.pose)) > cfg.max_vo_translation
+    rel = jnp.where(too_far, se3.identity(dtype=res.pose.dtype), res.pose)
+    ok = res.ok & ~too_far
+
+    # refill lost tracks when below the minimum (matcher.cpp:214-279)
+    n_tracked = jnp.sum(valid)
+    need = n_tracked < cfg.tracker.min_tracked_features
+    uv_d, xyz_d, v_d = _detect_for_tracking(cfg, gray, depth)
+    # don't duplicate surviving tracks: drop detections within the NMS radius
+    d2 = jnp.sum((uv_d[:, None, :] - tr.pts[None, :, :]) ** 2, axis=-1)
+    near = jnp.any((d2 < float(cfg.detector.nms_radius * 2) ** 2)
+                   & valid[None, :], axis=1)
+    want = v_d & ~near & need
+    free_idx = jnp.nonzero(~valid, size=uv_d.shape[0], fill_value=-1)[0]
+    cand_idx = jnp.nonzero(want, size=uv_d.shape[0], fill_value=-1)[0]
+    okm = (free_idx >= 0) & (cand_idx >= 0)
+    fslot = jnp.maximum(free_idx, 0)
+    cidx = jnp.maximum(cand_idx, 0)
+    uv_out = tr.pts.at[fslot].set(
+        jnp.where(okm[:, None], uv_d[cidx], tr.pts[fslot]))
+    xyz_out = xyz_new.at[fslot].set(
+        jnp.where(okm[:, None], xyz_d[cidx], xyz_new[fslot]))
+    valid_out = valid.at[fslot].set(jnp.where(okm, True, valid[fslot]))
+
+    ts_new = TrackState(uv_out, xyz_out, valid_out, gray)
+    return ts_new, VOStepResult(rel, n_tracked.astype(jnp.int32),
+                                res.n_inliers, res.inlier_ratio, ok)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def vo_sequence_tracking(cfg: SlamConfig, grays, depths, key, init_pose=None):
+    if init_pose is None:
+        init_pose = se3.identity(dtype=grays.dtype)
+    ts0 = init_tracking(cfg, grays[0], depths[0])
+
+    def step(carry, frame):
+        ts, pose, k = carry
+        k, sub = jax.random.split(k)
+        ts, res = vo_step_tracking(cfg, sub, ts, frame[0], frame[1])
+        pose_new = se3.compose(pose, res.rel_pose)
+        return (ts, pose_new, k), (pose_new, res)
+
+    (_, _, _), (poses, stats) = jax.lax.scan(
+        step, (ts0, init_pose, key), (grays[1:], depths[1:]))
+    return jnp.concatenate([init_pose[None], poses], axis=0), stats
+
+
 def run_vo(cfg: SlamConfig, grays, depths, seed: int = 0, init_pose=None):
-    """Host-facing wrapper: numpy in, numpy out."""
+    """Host-facing wrapper: numpy in, numpy out. Dispatches on
+    cfg.vo_version (0 = matching, 1 = KLT tracking — the VOVersion switch,
+    matcher.cpp:67-94)."""
     import numpy as np
 
     key = jax.random.PRNGKey(seed)
     g = jnp.asarray(grays)
     d = jnp.asarray(depths)
     ip = None if init_pose is None else jnp.asarray(init_pose)
-    poses, stats = vo_sequence(cfg, g, d, key, ip)
+    if cfg.vo_version == 1:
+        poses, stats = vo_sequence_tracking(cfg, g, d, key, ip)
+    else:
+        poses, stats = vo_sequence(cfg, g, d, key, ip)
     return np.asarray(poses), jax.tree.map(np.asarray, stats)
