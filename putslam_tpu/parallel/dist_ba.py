@@ -1,0 +1,182 @@
+"""Distributed bundle adjustment over a device mesh.
+
+The reference has no distributed story (single process, SURVEY §2); this is
+the TPU-native scaling path mandated by BASELINE.json: landmarks are
+partitioned into contiguous blocks across the mesh, every device assembles
+the Hessian contribution of *its* landmark block, and the reduced camera
+system is formed by an ICI ``psum`` of per-block Schur products:
+
+    S = H_cc − Σ_d  H_cl^(d) · blkdiag(H_ll^(d)⁻¹) · H_cl^(d)ᵀ
+
+The (K·6)² reduced system is then solved identically on every device
+(replicated Cholesky — tiny), and each device back-substitutes only its own
+landmark block. Per-device memory and the dominant matmul scale as 1/ndev;
+the all-reduce payload is the (K·6)² matrix, independent of the map size.
+
+Observation ownership: landmark block = index ÷ (L/ndev). Every device scans
+the full edge list but only accumulates edges whose landmark it owns (edge
+metadata is tiny compared to the Schur product). Pose-pose edges are
+assembled on every device identically (they are K-sized, not L-sized).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from putslam_tpu.backend import factors
+from putslam_tpu.backend.graph import GraphState
+from putslam_tpu.config import BackendConfig
+from putslam_tpu.geometry import se3
+from putslam_tpu.geometry.uncertainty import inv3x3
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
+                      kf_pose, kf_valid, lm_pos, lm_valid,
+                      g: GraphState, fixed_kf, lm_gen):
+    """Sharded Gauss-Newton: same math as backend.optimize.gauss_newton,
+    with the landmark axis partitioned over ``mesh``'s first axis.
+
+    Returns (kf_pose', lm_pos', chi2 (iters,)).
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    K = kf_pose.shape[0]
+    L = lm_pos.shape[0]
+    assert L % ndev == 0, "landmark capacity must divide the mesh size"
+    Ls = L // ndev
+    lam = bcfg.damping
+
+    lm_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def body(kf_pose, lm_pos_l, lm_valid_l, lm_gen_l, g, fixed_kf, kf_valid):
+        """shard_map body: lm_* are local (Ls,...) blocks; rest replicated."""
+        my = jax.lax.axis_index(axis)
+        base = my * Ls
+
+        def iteration(carry, _):
+            kf_pose, lm_pos_l = carry
+            # --- landmark-observation factors, masked to owned landmarks --
+            local_lm = g.obs_lm - base                      # (M,)
+            owned = (local_lm >= 0) & (local_lm < Ls)
+            safe_lm = jnp.clip(local_lm, 0, Ls - 1)
+            kf_p = kf_pose[g.obs_kf]
+            lm_p = lm_pos_l[safe_lm]
+            r = factors.obs_residual(kf_p, lm_p, g.obs_xyz)
+            Jp, Jl = factors.obs_jacobians(kf_p, lm_p)
+            w_info = (g.obs_w * g.obs_valid * owned
+                      * lm_valid_l[safe_lm]
+                      * (g.obs_gen == lm_gen_l[safe_lm]))
+            sq = w_info * jnp.sum(r * r, axis=-1)
+            w = w_info * factors.robust_weight(sq, bcfg.robust_kernel,
+                                               bcfg.robust_delta)
+            chi2 = jax.lax.psum(jnp.sum(sq), axis)
+
+            JpT_Jp = jnp.einsum("m,mri,mrj->mij", w, Jp, Jp)
+            JlT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jl, Jl)
+            JpT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jp, Jl)
+            bp = -jnp.einsum("m,mri,mr->mi", w, Jp, r)
+            bl = -jnp.einsum("m,mri,mr->mi", w, Jl, r)
+
+            H_cc_part = jnp.zeros((K, K, 6, 6), kf_pose.dtype)
+            H_cc_part = H_cc_part.at[g.obs_kf, g.obs_kf].add(JpT_Jp)
+            H_ll = jnp.zeros((Ls, 3, 3), kf_pose.dtype).at[safe_lm].add(JlT_Jl)
+            H_cl = jnp.zeros((K, Ls, 6, 3), kf_pose.dtype)
+            H_cl = H_cl.at[g.obs_kf, safe_lm].add(JpT_Jl)
+            b_c_part = jnp.zeros((K, 6), kf_pose.dtype).at[g.obs_kf].add(bp)
+            b_l = jnp.zeros((Ls, 3), kf_pose.dtype).at[safe_lm].add(bl)
+
+            # --- pose-pose edges: only on device 0 (then psum'd) ----------
+            pi = kf_pose[g.pp_i]
+            pj = kf_pose[g.pp_j]
+            r6 = factors.pp_residual(pi, pj, g.pp_rel)
+            Ji, Jj = factors.pp_jacobians(pi, pj, g.pp_rel)
+            on0 = (my == 0).astype(kf_pose.dtype)
+            wpp_info = g.pp_w * g.pp_valid * on0
+            sq_pp = wpp_info * jnp.sum(r6 * r6, axis=-1)
+            wpp = wpp_info * factors.robust_weight(
+                sq_pp, bcfg.robust_kernel, bcfg.robust_delta)
+            chi2 = chi2 + jax.lax.psum(jnp.sum(sq_pp), axis)
+            H_cc_part = H_cc_part.at[g.pp_i, g.pp_i].add(
+                jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji))
+            H_cc_part = H_cc_part.at[g.pp_j, g.pp_j].add(
+                jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj))
+            H_cc_part = H_cc_part.at[g.pp_i, g.pp_j].add(
+                jnp.einsum("e,eri,erj->eij", wpp, Ji, Jj))
+            H_cc_part = H_cc_part.at[g.pp_j, g.pp_i].add(
+                jnp.einsum("e,eri,erj->eij", wpp, Jj, Ji))
+            b_c_part = b_c_part.at[g.pp_i].add(
+                -jnp.einsum("e,eri,er->ei", wpp, Ji, r6))
+            b_c_part = b_c_part.at[g.pp_j].add(
+                -jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
+
+            # --- local Schur contribution + ICI reduction -----------------
+            tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
+            H_ll_inv = inv3x3(
+                H_ll + (lam * (1.0 + tr_ll))[:, None, None]
+                * jnp.eye(3, dtype=kf_pose.dtype))
+
+            Hcl = H_cl.transpose(0, 2, 1, 3).reshape(K * 6, Ls * 3)
+            HclWinv = jnp.einsum("kla,lab->klb",
+                                 Hcl.reshape(K * 6, Ls, 3), H_ll_inv)
+            S_part = (H_cc_part.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+                      - jnp.dot(HclWinv.reshape(K * 6, Ls * 3), Hcl.T,
+                                preferred_element_type=jnp.float32))
+            Winv_bl = jnp.einsum("lab,lb->la", H_ll_inv, b_l)
+            b_part = b_c_part.reshape(K * 6) - jnp.dot(
+                Hcl, Winv_bl.reshape(Ls * 3))
+
+            S = jax.lax.psum(S_part, axis)                 # (K6, K6) — tiny
+            b_red = jax.lax.psum(b_part, axis)
+
+            # --- replicated solve ----------------------------------------
+            frozen = fixed_kf | ~kf_valid
+            frozen6 = jnp.repeat(frozen, 6)
+            S = jnp.where(frozen6[:, None] | frozen6[None, :], 0.0, S)
+            S = S + jnp.diag(frozen6.astype(S.dtype))
+            S = 0.5 * (S + S.T)
+            max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(S))), 1.0)
+            S = S + (lam * max_diag) * jnp.eye(K * 6, dtype=S.dtype)
+            b_red = jnp.where(frozen6, 0.0, b_red)
+            dc = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(S, lower=True), b_red)
+            dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+            dc = jnp.where(jnp.all(jnp.abs(dc) < 1e3), dc, 0.0)
+
+            # --- local landmark back-substitution -------------------------
+            Hlc_dc = jnp.einsum("kla,k->la", Hcl.reshape(K * 6, Ls, 3), dc)
+            dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
+            dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
+
+            new_pose = se3.retract(kf_pose, dc.reshape(K, 6))
+            new_pose = jnp.where(frozen[:, None], kf_pose, new_pose)
+            moved = lm_valid_l & (jnp.abs(dl).max(axis=-1) < 1e3)
+            new_lm = jnp.where(moved[:, None], lm_pos_l + dl, lm_pos_l)
+            return (new_pose, new_lm), chi2
+
+        (kf_out, lm_out), chi2s = jax.lax.scan(
+            iteration, (kf_pose, lm_pos_l), None, length=bcfg.gn_iterations)
+        return kf_out, lm_out, chi2s
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P(axis), P()),
+    )
+    kf_out, lm_out, chi2s = sharded(
+        jax.device_put(kf_pose, repl),
+        jax.device_put(lm_pos, lm_sharding),
+        jax.device_put(lm_valid, lm_sharding),
+        jax.device_put(lm_gen, lm_sharding),
+        jax.device_put(g, repl),
+        jax.device_put(fixed_kf, repl),
+        jax.device_put(kf_valid, repl),
+    )
+    return kf_out, lm_out, chi2s

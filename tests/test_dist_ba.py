@@ -1,0 +1,50 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putslam_tpu.backend import graph, optimize
+from putslam_tpu.config import BackendConfig
+from putslam_tpu.parallel import dist_ba, mesh as mesh_mod
+
+from test_backend import build_problem
+
+
+def test_dist_ba_matches_single_device(rng):
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(
+        rng, K=6, L=64, obs_per_kf=48, noise=0.003)
+    K, L = kf_init.shape[0], lm_init.shape[0]
+    bcfg = BackendConfig(gn_iterations=4, robust_kernel="cauchy", damping=1e-5)
+    fixed = jnp.zeros((K,), bool).at[0].set(True)
+    lm_gen = jnp.zeros((L,), jnp.int32)
+
+    res = optimize.gauss_newton(
+        bcfg, jnp.asarray(kf_init), jnp.ones((K,), bool),
+        jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed, lm_gen)
+
+    m = mesh_mod.make_mesh(8, axis="lm")
+    kf_d, lm_d, chi2_d = dist_ba.dist_gauss_newton(
+        bcfg, m, jnp.asarray(kf_init), jnp.ones((K,), bool),
+        jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed, lm_gen)
+
+    np.testing.assert_allclose(np.asarray(res.chi2), np.asarray(chi2_d),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.kf_pose), np.asarray(kf_d),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res.lm_pos), np.asarray(lm_d),
+                               atol=5e-3)
+
+
+def test_dist_ba_converges(rng):
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(rng, noise=0.0)
+    K, L = kf_init.shape[0], lm_init.shape[0]
+    bcfg = BackendConfig(gn_iterations=6, robust_kernel="none", damping=1e-5)
+    fixed = jnp.zeros((K,), bool).at[0].set(True)
+    m = mesh_mod.make_mesh(8, axis="lm")
+    kf_d, lm_d, chi2 = dist_ba.dist_gauss_newton(
+        bcfg, m, jnp.asarray(kf_init), jnp.ones((K,), bool),
+        jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed,
+        jnp.zeros((L,), jnp.int32))
+    chi = np.asarray(chi2)
+    assert chi[-1] < 1e-4 * chi[0] + 1e-8
+    err_t = np.abs(np.asarray(kf_d)[:, :3] - kf_true[:, :3])
+    assert err_t.max() < 2e-3
