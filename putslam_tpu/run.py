@@ -1,0 +1,119 @@
+"""Command-line SLAM runner — the ``demoMatching`` equivalent.
+
+Usage:
+    python -m putslam_tpu.run --dataset /path/to/tum_sequence --out results/
+    python -m putslam_tpu.run --synthetic 120 --out results/ --loop-closure
+
+Replaces the reference's demo binary + batch driver
+(reference: demos/demoMatching.cpp:1-13 → PUTSLAM::startProcessing;
+scripts/runPUTSLAM.py:15-40 dataset iteration; outputs VO_trajectory.res /
+graph_trajectory.res / fps.res / times.txt / statistics — PUTSLAM.cpp
+:1006-1016, :1056-1061, :1063-1216). Evaluates ATE/RPE in-process when
+ground truth is available (scripts/evaluate_ate.py semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", help="TUM-format sequence directory")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="render N synthetic frames instead of a dataset")
+    ap.add_argument("--out", default="results", help="output directory")
+    ap.add_argument("--only-vo", action="store_true",
+                    help="VO only (reference onlyVO=1)")
+    ap.add_argument("--vo-version", type=int, default=0,
+                    help="0=matching, 1=KLT tracking (VOVersion)")
+    ap.add_argument("--loop-closure", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from putslam_tpu.config import tum_fr1_config
+    from putslam_tpu.eval import ate as ate_mod, rpe as rpe_mod
+    from putslam_tpu.io import synthetic, tum
+    from putslam_tpu.models import slam, vo
+    from putslam_tpu.utils import timing
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = tum_fr1_config(only_vo=args.only_vo, vo_version=args.vo_version)
+    if args.loop_closure:
+        cfg = cfg.replace(loop_closure=dataclasses.replace(
+            cfg.loop_closure, enabled=True))
+
+    timer = timing.StageTimer()
+    gt_poses = None
+    timestamps = None
+    if args.synthetic:
+        with timer.stage("dataset"):
+            poses = synthetic.orbit_trajectory(args.synthetic, radius=0.12,
+                                               yaw_amp=0.12)
+            grays, depths = synthetic.render_sequence(cfg.camera, poses)
+            grays = np.asarray(grays)
+            depths = np.asarray(depths)
+            gt_poses = np.asarray(poses)
+            timestamps = np.arange(len(grays)) / 30.0
+    elif args.dataset:
+        with timer.stage("dataset"):
+            ds = tum.TumDataset(args.dataset,
+                                depth_scale=cfg.camera.depth_image_scale)
+            n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
+            frames = [ds[i] for i in range(n)]
+            grays = np.stack([f.gray for f in frames])
+            depths = np.stack([f.depth for f in frames])
+            timestamps = np.array([f.timestamp for f in frames])
+            if ds.groundtruth is not None:
+                gt_ts, gt_all = ds.groundtruth
+    else:
+        ap.error("need --dataset or --synthetic N")
+
+    init_pose = gt_poses[0] if gt_poses is not None else None
+
+    t0 = time.perf_counter()
+    if args.only_vo:
+        with timer.stage("vo_total"):
+            est, stats = vo.run_vo(cfg, grays, depths, seed=args.seed,
+                                   init_pose=init_pose)
+        outs = None
+    else:
+        with timer.stage("slam_total"):
+            est, outs, state = slam.run_slam(cfg, grays, depths,
+                                             init_pose=init_pose,
+                                             seed=args.seed)
+    total = time.perf_counter() - t0
+
+    # --- outputs (reference file names) ----------------------------------
+    ts = timestamps if timestamps is not None else np.arange(len(est)) / 30.0
+    traj_name = "VO_trajectory.res" if args.only_vo else "graph_trajectory.res"
+    tum.save_trajectory(os.path.join(args.out, traj_name), ts, est)
+    timing.write_fps(os.path.join(args.out, "fps.res"), len(grays), total)
+    timer.write_times_txt(os.path.join(args.out, "times.txt"))
+    if outs is not None:
+        timing.write_run_statistics(os.path.join(args.out, "statistics.txt"),
+                                    outs)
+
+    report = {"frames": int(len(grays)), "fps": round(len(grays) / total, 2)}
+    if gt_poses is not None:
+        report["ate_rmse_m"] = round(
+            ate_mod.ate_rmse_aligned_frames(gt_poses, est), 5)
+        tr, rot = rpe_mod.rpe(gt_poses, est)
+        report["rpe_trans_m"] = round(tr, 5)
+        report["rpe_rot_rad"] = round(rot, 5)
+    elif args.dataset and 'gt_all' in dir():
+        report["ate_rmse_m"] = round(
+            ate_mod.ate_rmse(gt_ts, gt_all, ts, est), 5)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
