@@ -75,7 +75,7 @@ def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
     m = fm.init_map(cfg)
     m, kf_idx = fm.add_keyframe(cfg, m, init_pose, jnp.float32(1.0))
     m = fm.add_landmarks(cfg, m, init_pose, feat,
-                         jnp.zeros((feat.capacity,), bool), kf_idx)
+                         jnp.zeros((feat.capacity,), bool), jnp.int32(0))
     g = graph_mod.init_graph(cfg.backend.max_observations,
                              cfg.backend.max_pose_pose_edges)
     # anchor observations of the initial landmarks to keyframe 0 (only
@@ -149,7 +149,7 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
 
     # ---- 3. keyframe decision (covisibility, featuresMap.cpp:292-333) ---
     covis = fm.covisibility_ratio(gm._replace(valid=matched_lm), state.map,
-                                  state.last_kf_idx)
+                                  state.map.n_kf - 1)
     n_matched = jnp.sum(matched_lm)
     is_kf = (
         (covis < cfg.map.covisibility_keyframe)
@@ -159,10 +159,11 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
 
     # ---- 4. keyframe bookkeeping (branchless, masked by is_kf) ----------
     m = state.map
+    kf_seq_new = state.map.n_kf           # sequential number of the new kf
     m2, kf_idx_new = fm.add_keyframe(cfg, m, pose_new, covis)
     m2 = fm.update_matched_landmarks(
         cfg, m2, pose_new, feat,
-        gm._replace(valid=matched_lm & is_kf), kf_idx_new)
+        gm._replace(valid=matched_lm & is_kf), kf_seq_new)
     feat_matched_mask = jnp.zeros((feat.capacity,), bool).at[
         jnp.clip(gm.feat_idx, 0, feat.capacity - 1)].max(matched_lm)
     # provisioning policy (PUTSLAM.cpp:845-891): add features only when the
@@ -173,7 +174,7 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
     ) & (jnp.sum(m2.lm_valid) < cfg.map.add_no_features_when_map_size_greater_than)
     m2 = fm.add_landmarks(cfg, m2, pose_new, feat,
                           feat_matched_mask | ~(is_kf & want_provision),
-                          kf_idx_new)
+                          kf_seq_new)
     m = jax.tree.map(lambda a, b: jnp.where(
         jnp.reshape(is_kf, (1,) * a.ndim), b, a) if a.ndim > 0
         else jnp.where(is_kf, b, a), m, m2)
@@ -203,7 +204,10 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
 
     def run_ba(operand):
         m_in, g_in = operand
-        fixed = jnp.zeros((m_in.kf_pose.shape[0],), bool).at[0].set(True)
+        # gauge: oldest in-window keyframe; plus freeze everything beyond
+        # the active window (map compression, featuresMap.cpp:1056-1104)
+        fixed = fm.active_window_fixed(m_in, cfg.map.max_frames_window)
+        fixed = fixed.at[0].set(True)
         res = opt_mod.gauss_newton(
             cfg.backend, m_in.kf_pose, m_in.kf_valid,
             m_in.lm_pos, m_in.lm_valid, g_in, fixed,
@@ -265,6 +269,10 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
         do_ba, run_ba, skip_ba, (m, g))
     m = m._replace(kf_pose=kf_pose_opt, lm_pos=lm_pos_opt)
     g = graph_mod.prune_observations(g, drop_obs)
+    # marginalize weak out-of-window landmarks on keyframe steps
+    m_compressed = fm.compress_map(cfg, m, cfg.map.max_frames_window)
+    m = m._replace(lm_valid=jnp.where(is_kf, m_compressed.lm_valid,
+                                      m.lm_valid))
 
     # re-anchor the live pose on the (possibly moved) last keyframe:
     # pose = kf_new ∘ (kf_old⁻¹ ∘ pose)  (featuresMap.cpp:610-627 contract)

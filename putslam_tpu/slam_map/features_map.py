@@ -47,7 +47,8 @@ class MapState(NamedTuple):
     # --- keyframes -------------------------------------------------------
     kf_pose: jnp.ndarray       # (K, 7) camera→world
     kf_valid: jnp.ndarray      # (K,) bool
-    n_kf: jnp.ndarray          # () int32 — next keyframe index
+    kf_seq: jnp.ndarray        # (K,) int32 sequential keyframe number per slot
+    n_kf: jnp.ndarray          # () int32 — total keyframes ever created
     covis: jnp.ndarray         # (K, K) float32 covisibility weights
 
     @property
@@ -72,6 +73,7 @@ def init_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         lm_gen=jnp.zeros((L,), jnp.int32),
         kf_pose=jnp.tile(se3.identity(dtype=dtype), (K, 1)),
         kf_valid=jnp.zeros((K,), bool),
+        kf_seq=jnp.full((K,), -1, jnp.int32),
         n_kf=jnp.int32(0),
         covis=jnp.zeros((K, K), dtype),
     )
@@ -260,17 +262,39 @@ def add_keyframe(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
     prev = jnp.mod(m.n_kf - 1, K)
     kf_pose = m.kf_pose.at[idx].set(pose)
     kf_valid = m.kf_valid.at[idx].set(True)
+    kf_seq = m.kf_seq.at[idx].set(m.n_kf)
     covis = m.covis.at[idx, prev].set(covis_with_prev)
     covis = covis.at[prev, idx].set(covis_with_prev)
-    return m._replace(kf_pose=kf_pose, kf_valid=kf_valid,
+    return m._replace(kf_pose=kf_pose, kf_valid=kf_valid, kf_seq=kf_seq,
                       n_kf=m.n_kf + 1, covis=covis), idx
 
 
 def covisibility_ratio(gm: GuidedMatchResult, m: MapState,
-                       last_kf: jnp.ndarray) -> jnp.ndarray:
+                       last_kf_seq: jnp.ndarray) -> jnp.ndarray:
     """Fraction of currently-matched landmarks that were already observed at
-    the last keyframe — the keyframe trigger (featuresMap.cpp:292-333)."""
-    seen_before = m.lm_last_kf == last_kf
+    the last keyframe — the keyframe trigger (featuresMap.cpp:292-333).
+    ``last_kf_seq``: sequential number of the previous keyframe."""
+    seen_before = m.lm_last_kf == last_kf_seq
     both = jnp.sum((gm.valid & seen_before).astype(jnp.float32))
     now = jnp.maximum(jnp.sum(gm.valid.astype(jnp.float32)), 1.0)
     return both / now
+
+
+def active_window_fixed(m: MapState, window: int) -> jnp.ndarray:
+    """(K,) bool: keyframes older than the active optimization window —
+    these are frozen in BA (``fixMeasurementsFromPose`` + full-marginalization
+    fixing, featuresMap.cpp:1043-1053, :1056-1104). Slot 0 of the window is
+    always fixed by the caller for gauge."""
+    age = m.n_kf - 1 - m.kf_seq
+    return m.kf_valid & (age >= window)
+
+
+def compress_map(cfg: SlamConfig, m: MapState, window: int) -> MapState:
+    """Marginalize weak, out-of-window landmarks (featuresMap.cpp:1056-1104:
+    features not connected to keyframes are removed when covisibility is low
+    / the window overflows). A reclaimed slot's generation makes any stale
+    graph edges vanish from the next BA automatically."""
+    out_of_window = m.lm_last_kf < (m.n_kf - window)
+    weak = m.lm_n_obs < 2
+    drop = m.lm_valid & out_of_window & weak
+    return m._replace(lm_valid=m.lm_valid & ~drop)
