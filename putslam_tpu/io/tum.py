@@ -101,8 +101,26 @@ class TumDataset:
         return TumFrame(ts, gray, depth)
 
     def __iter__(self) -> Iterator[TumFrame]:
-        for i in range(len(self)):
-            yield self[i]
+        """Iterate frames; uses the native threaded prefetcher
+        (native/putslam_io.cpp, the FileGrabber-equivalent C++ runtime) when
+        built, falling back to PIL decode."""
+        from putslam_tpu.io import native_loader
+
+        if len(self) and native_loader.available():
+            probe = self[0]
+            h, w = probe.gray.shape
+            rgb_paths = [os.path.join(self.root, p[1]) for p in self.pairs]
+            depth_paths = [os.path.join(self.root, p[2]) for p in self.pairs]
+            loader = native_loader.NativeLoader(
+                rgb_paths, depth_paths, w, h, self.depth_scale)
+            try:
+                for idx, gray, depth in loader:
+                    yield TumFrame(self.pairs[idx][0], gray, depth)
+            finally:
+                loader.close()
+        else:
+            for i in range(len(self)):
+                yield self[i]
 
     def starting_pose(self) -> Optional[np.ndarray]:
         """First ground-truth pose as (7,) [t, q_wxyz] (fileGrabber.cpp:223-237
