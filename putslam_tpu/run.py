@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-closure", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--plots", action="store_true",
+                    help="write trajectory/map/stats PNGs (offline visualizer)")
     args = ap.parse_args(argv)
 
     from putslam_tpu.config import tum_fr1_config
@@ -100,6 +102,15 @@ def main(argv=None) -> int:
     if outs is not None:
         timing.write_run_statistics(os.path.join(args.out, "statistics.txt"),
                                     outs)
+
+    if args.plots:
+        from putslam_tpu.utils import viz
+
+        viz.plot_trajectory(os.path.join(args.out, "trajectory.png"), est,
+                            gt_poses)
+        if outs is not None:
+            viz.plot_map(os.path.join(args.out, "map.png"), state.map, est)
+            viz.plot_run_stats(os.path.join(args.out, "stats.png"), outs)
 
     report = {"frames": int(len(grays)), "fps": round(len(grays) / total, 2)}
     if gt_poses is not None:
