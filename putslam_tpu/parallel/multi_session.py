@@ -1,0 +1,162 @@
+"""Multi-session distributed mapping: joint optimization of several maps.
+
+The BASELINE.json stretch configuration ("4+ sequences jointly optimized,
+map blocks sharded across hosts") — no counterpart exists in the reference
+(single process, single session). Sessions are first run independently
+(optionally data-parallel across the mesh, parallel/mesh.py); their final
+states are then merged into one stacked problem:
+
+* keyframes / landmarks / edges concatenated with per-session index offsets,
+* cross-session loop closures found by scoring every session-A keyframe
+  BoW signature against every session-B signature (one matmul) and
+  geometrically verifying the top pairs (loopclosure/verify machinery),
+* the joint graph optimized by the *distributed* Schur BA
+  (parallel/dist_ba.py) with the stacked landmark axis sharded over the
+  mesh — inter-session consistency rides the psum'd reduced camera system.
+
+Gauge: the first keyframe of every session is fixed until cross-session
+edges exist; with edges, only session 0's anchor stays fixed and the other
+anchors are released so the loop closures can pull sessions into a common
+frame.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putslam_tpu.backend import graph as graph_mod
+from putslam_tpu.config import SlamConfig
+from putslam_tpu.loopclosure import verify as lc_verify
+from putslam_tpu.parallel import dist_ba
+from putslam_tpu.slam_map import features_map as fm
+
+
+class MergedProblem(NamedTuple):
+    kf_pose: jnp.ndarray      # (B*K, 7)
+    kf_valid: jnp.ndarray
+    lm_pos: jnp.ndarray       # (B*L, 3)
+    lm_valid: jnp.ndarray
+    lm_gen: jnp.ndarray
+    graph: graph_mod.GraphState
+    session_of_kf: jnp.ndarray  # (B*K,) int32
+    anchors: jnp.ndarray        # (B,) int32 — first valid kf index per session
+    map_states: List[fm.MapState]
+
+
+def merge_sessions(cfg: SlamConfig, states) -> MergedProblem:
+    """Stack the final SlamStates of B sessions into one problem."""
+    B = len(states)
+    K = states[0].map.kf_pose.shape[0]
+    L = states[0].map.lm_pos.shape[0]
+    M = states[0].graph.obs_capacity
+    E = states[0].graph.pp_capacity
+
+    kf_pose = jnp.concatenate([s.map.kf_pose for s in states])
+    kf_valid = jnp.concatenate([s.map.kf_valid for s in states])
+    lm_pos = jnp.concatenate([s.map.lm_pos for s in states])
+    lm_valid = jnp.concatenate([s.map.lm_valid for s in states])
+    lm_gen = jnp.concatenate([s.map.lm_gen for s in states])
+    session_of_kf = jnp.concatenate(
+        [jnp.full((K,), b, jnp.int32) for b in range(B)])
+
+    # stacked edge store: plain concatenation with index offsets
+    g = graph_mod.GraphState(
+        obs_kf=jnp.concatenate([s.graph.obs_kf + b * K
+                                for b, s in enumerate(states)]),
+        obs_lm=jnp.concatenate([s.graph.obs_lm + b * L
+                                for b, s in enumerate(states)]),
+        obs_xyz=jnp.concatenate([s.graph.obs_xyz for s in states]),
+        obs_w=jnp.concatenate([s.graph.obs_w for s in states]),
+        obs_gen=jnp.concatenate([s.graph.obs_gen for s in states]),
+        obs_valid=jnp.concatenate([s.graph.obs_valid for s in states]),
+        n_obs=sum((s.graph.n_obs for s in states), jnp.int32(0)),
+        pp_i=jnp.concatenate([s.graph.pp_i + b * K
+                              for b, s in enumerate(states)]),
+        pp_j=jnp.concatenate([s.graph.pp_j + b * K
+                              for b, s in enumerate(states)]),
+        pp_rel=jnp.concatenate([s.graph.pp_rel for s in states]),
+        pp_w=jnp.concatenate([s.graph.pp_w for s in states]),
+        pp_valid=jnp.concatenate([s.graph.pp_valid for s in states]),
+        n_pp=sum((s.graph.n_pp for s in states), jnp.int32(0)),
+    )
+
+    anchors = []
+    kfv = np.asarray(kf_valid)
+    for b in range(B):
+        idx = np.nonzero(kfv[b * K:(b + 1) * K])[0]
+        anchors.append(b * K + (int(idx[0]) if len(idx) else 0))
+    return MergedProblem(kf_pose, kf_valid, lm_pos, lm_valid, lm_gen, g,
+                         session_of_kf, jnp.asarray(anchors, jnp.int32),
+                         [s.map for s in states])
+
+
+def find_cross_session_closures(cfg: SlamConfig, merged: MergedProblem,
+                                states, key, top_per_pair: int = 3,
+                                min_score: float = 0.3):
+    """Score + verify inter-session keyframe pairs; returns the merged graph
+    with accepted pose-pose correction edges and the number accepted."""
+    B = len(states)
+    K = states[0].map.kf_pose.shape[0]
+    g = merged.graph
+    n_accepted = 0
+
+    # merged MapState view for the verifier (landmark arrays stacked)
+    class _MapView(NamedTuple):
+        lm_gen: jnp.ndarray
+        lm_valid: jnp.ndarray
+        lm_desc: jnp.ndarray
+        lm_pos: jnp.ndarray
+
+    map_view = _MapView(
+        merged.lm_gen, merged.lm_valid,
+        jnp.concatenate([s.map.lm_desc for s in states]), merged.lm_pos)
+
+    # only keyframes that actually carry observations can be verified
+    BK = merged.kf_pose.shape[0]
+    obs_count = jnp.zeros((BK,), jnp.int32).at[g.obs_kf].add(
+        g.obs_valid.astype(jnp.int32))
+    has_obs = obs_count >= cfg.loop_closure.min_features_lc
+
+    for a in range(B):
+        for b in range(a + 1, B):
+            sig_a = states[a].kf_sig          # (K, V)
+            sig_b = states[b].kf_sig
+            va = states[a].sig_valid & has_obs[a * K:(a + 1) * K]
+            vb = states[b].sig_valid & has_obs[b * K:(b + 1) * K]
+            S = sig_a @ sig_b.T               # (K, K) similarity
+            S = jnp.where(va[:, None] & vb[None, :], S, -jnp.inf)
+            flat = S.reshape(-1)
+            top_v, top_i = jax.lax.top_k(flat, top_per_pair)
+            for t in range(top_per_pair):
+                if float(top_v[t]) < min_score:
+                    continue
+                ka = a * K + int(top_i[t]) // K
+                kb = b * K + int(top_i[t]) % K
+                key, sub = jax.random.split(key)
+                res = lc_verify.verify_candidate(
+                    cfg, map_view, g, jnp.int32(ka), jnp.int32(kb), sub)
+                if bool(res.ok):
+                    g = graph_mod.add_pose_pose(
+                        g, jnp.int32(ka), jnp.int32(kb), res.rel_pose,
+                        jnp.float32(200.0), True)
+                    n_accepted += 1
+    return g, n_accepted
+
+
+def joint_optimize(cfg: SlamConfig, mesh, merged: MergedProblem,
+                   g: graph_mod.GraphState, n_cross_edges: int):
+    """Distributed BA over the merged problem. Returns (kf_pose, lm_pos,
+    chi2)."""
+    BK = merged.kf_pose.shape[0]
+    fixed = jnp.zeros((BK,), bool)
+    if n_cross_edges > 0:
+        fixed = fixed.at[merged.anchors[0]].set(True)
+    else:
+        fixed = fixed.at[merged.anchors].set(True)
+    return dist_ba.dist_gauss_newton(
+        cfg.backend, mesh, merged.kf_pose, merged.kf_valid,
+        merged.lm_pos, merged.lm_valid, g, fixed, merged.lm_gen)
