@@ -176,3 +176,47 @@ def prune_mask_from_errors(bcfg: BackendConfig, sq_err: jnp.ndarray,
     """Edges whose weighted squared error exceeds ``threshold`` — the chi²
     edge pruning of optimizeAndPrune (graph_g2o.cpp:1394-1505)."""
     return sq_err > threshold
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def pose_covariances(bcfg: BackendConfig,
+                     kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
+                     lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
+                     g: GraphState, fixed_kf: jnp.ndarray,
+                     lm_gen: jnp.ndarray = None) -> jnp.ndarray:
+    """Marginal 6×6 pose covariances from the reduced camera system:
+    diag blocks of S⁻¹ at the current estimate (the reference extracts the
+    same from g2o's Hessian, graph_g2o.cpp:1324-1390 ``getPoseCovariance``).
+
+    Returns (K, 6, 6); fixed/invalid keyframes get zero blocks."""
+    K = kf_pose.shape[0]
+    L = lm_pos.shape[0]
+    lam = bcfg.damping
+    r, Jp, Jl, w, _ = _assemble_obs(bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen)
+    JpT_Jp = jnp.einsum("m,mri,mrj->mij", w, Jp, Jp)
+    JlT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jl, Jl)
+    JpT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jp, Jl)
+    H_cc = jnp.zeros((K, K, 6, 6), kf_pose.dtype).at[g.obs_kf, g.obs_kf].add(JpT_Jp)
+    H_ll = jnp.zeros((L, 3, 3), kf_pose.dtype).at[g.obs_lm].add(JlT_Jl)
+    H_cl = jnp.zeros((K, L, 6, 3), kf_pose.dtype).at[g.obs_kf, g.obs_lm].add(JpT_Jl)
+    tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
+    H_ll_inv = inv3x3(H_ll + (lam * (1.0 + tr_ll))[:, None, None]
+                      * jnp.eye(3, dtype=kf_pose.dtype))
+    Hcl = H_cl.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
+    HclWinv = jnp.einsum("kla,lab->klb", Hcl.reshape(K * 6, L, 3), H_ll_inv)
+    S = (H_cc.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+         - jnp.dot(HclWinv.reshape(K * 6, L * 3), Hcl.T,
+                   preferred_element_type=jnp.float32))
+    frozen = fixed_kf | ~kf_valid
+    frozen6 = jnp.repeat(frozen, 6)
+    S = jnp.where(frozen6[:, None] | frozen6[None, :], 0.0, S)
+    S = S + jnp.diag(frozen6.astype(S.dtype))
+    S = 0.5 * (S + S.T)
+    max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(S))), 1.0)
+    S = S + (lam * max_diag) * jnp.eye(K * 6, dtype=S.dtype)
+    S_inv = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S, lower=True),
+        jnp.eye(K * 6, dtype=S.dtype))
+    cov = S_inv.reshape(K, 6, K, 6)
+    diag = jnp.einsum("kikj->kij", cov)
+    return jnp.where(frozen[:, None, None], 0.0, diag)

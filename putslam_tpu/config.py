@@ -81,8 +81,12 @@ class RansacConfig:
     inlier_threshold_mahalanobis: float = 2e-4
     minimal_inlier_ratio: float = 0.2    # minimalInlierRatioThreshold → identity fallback
     minimal_num_matches: int = 15        # minimalNumberOfMatches
-    error_version: int = 0               # 0 Euclid, 1 reproj, 2 both, 4 adaptive
+    error_version: int = 0               # 0 Euclid, 1 reproj, 2 both, 3 Mahalanobis, 4 adaptive
     refit_iterations: int = 2            # re-fit on inliers (RANSAC.cpp:152-158), iterated
+    # PROSAC-style quality-ordered sampling (the USAC variant's PROSAC option,
+    # USAC_wrapper.cpp:62-100): bias hypothesis sampling toward low-distance
+    # matches with weight ∝ exp(−dist/quality_tau); 0 disables (uniform)
+    quality_tau: float = 0.0
 
 
 @dataclass(frozen=True)

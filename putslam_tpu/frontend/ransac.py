@@ -40,10 +40,11 @@ class RansacResult(NamedTuple):
 
 
 def _pair_errors(cfg: RansacConfig, cam: Optional[CameraConfig],
-                 T, p, q):
+                 T, p, q, info=None):
     """Per-pair error and threshold according to the configured model.
 
-    T: (..., 7); p, q: (N, 3). Returns (err (..., N), thr (..., N))."""
+    T: (..., 7); p, q: (N, 3); info: optional (N, 3, 3) per-pair information
+    matrices (Mahalanobis model). Returns (err (..., N), thr (..., N))."""
     pred = se3.apply(T[..., None, :], p)
     if cfg.error_version == 0:        # Euclidean, RANSAC.cpp:251-281
         err = jnp.linalg.norm(pred - q, axis=-1)
@@ -65,6 +66,13 @@ def _pair_errors(cfg: RansacConfig, cam: Optional[CameraConfig],
         err = jnp.maximum(e1 / cfg.inlier_threshold_euclidean,
                           e2 / cfg.inlier_threshold_reprojection)
         thr = jnp.ones_like(err)
+    elif cfg.error_version == 3:      # Mahalanobis (RANSAC.cpp:383-436)
+        d = pred - q
+        if info is None:
+            err = jnp.sum(d * d, axis=-1)
+        else:
+            err = jnp.einsum("...ni,nij,...nj->...n", d, info, d)
+        thr = jnp.full_like(err, cfg.inlier_threshold_mahalanobis)
     else:
         raise ValueError(f"unsupported error_version {cfg.error_version}")
     return err, thr
@@ -73,26 +81,34 @@ def _pair_errors(cfg: RansacConfig, cam: Optional[CameraConfig],
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def estimate(cfg: RansacConfig, cam: Optional[CameraConfig],
              key: jax.Array, p: jnp.ndarray, q: jnp.ndarray,
-             valid: jnp.ndarray) -> RansacResult:
+             valid: jnp.ndarray, quality: jnp.ndarray = None,
+             info: jnp.ndarray = None) -> RansacResult:
     """Estimate T with q ≈ T·p from masked correspondences.
 
     p, q: (N, 3) matched 3D points (camera frames A and B); valid: (N,) bool
-    (already includes the depth-validity prefilter, RANSAC.cpp:64-74).
+    (already includes the depth-validity prefilter, RANSAC.cpp:64-74);
+    ``quality``: optional per-match distance (lower=better) enabling
+    PROSAC-style biased sampling when cfg.quality_tau > 0; ``info``:
+    optional (N,3,3) information matrices for the Mahalanobis model.
     """
     N = p.shape[0]
     H = cfg.n_hypotheses
     n_valid = jnp.sum(valid)
 
     # --- sample `used_pairs` valid indices per hypothesis -----------------
-    # Uniform-over-valid via prefix-sum + binary search: O(H·k·log N), far
+    # Weighted-over-valid via prefix-sum + binary search: O(H·k·log N), far
     # cheaper than Gumbel-top-k whose (H, N) top_k lowers to a full per-row
     # sort on TPU (measured 8 ms/frame at H=1024, N=512). Sampling is with
     # replacement; a duplicated index yields a degenerate hypothesis that
     # simply scores ~0 inliers and loses the argmax.
-    csum = jnp.cumsum(valid.astype(jnp.int32))            # (N,)
-    nv = jnp.maximum(csum[-1], 1)
-    r = jax.random.randint(key, (H, cfg.used_pairs), 0, nv)  # ranks in [0, nv)
-    sample_idx = jnp.searchsorted(csum, r + 1, side="left")  # (H, k)
+    if cfg.quality_tau > 0.0 and quality is not None:
+        wgt = jnp.where(valid, jnp.exp(-quality / cfg.quality_tau), 0.0)
+    else:
+        wgt = valid.astype(p.dtype)
+    csum = jnp.cumsum(wgt)                                 # (N,)
+    total = jnp.maximum(csum[-1], 1e-9)
+    u = jax.random.uniform(key, (H, cfg.used_pairs), maxval=1.0)
+    sample_idx = jnp.searchsorted(csum, u * total, side="left")
     sample_idx = jnp.clip(sample_idx, 0, N - 1)
     ps = p[sample_idx]            # (H, k, 3)
     qs = q[sample_idx]
@@ -102,7 +118,7 @@ def estimate(cfg: RansacConfig, cam: Optional[CameraConfig],
     T = kabsch.weighted_kabsch(ps, qs, w)                 # (H, 7)
 
     # --- score: masked inlier count + mean inlier error -------------------
-    err, thr = _pair_errors(cfg, cam, T, p, q)            # (H, N)
+    err, thr = _pair_errors(cfg, cam, T, p, q, info)      # (H, N)
     inl = (err < thr) & valid[None, :]
     counts = jnp.sum(inl, axis=-1)
     mean_err = jnp.sum(jnp.where(inl, err, 0.0), axis=-1) / jnp.maximum(counts, 1)
@@ -117,7 +133,7 @@ def estimate(cfg: RansacConfig, cam: Optional[CameraConfig],
     def refit(carry, _):
         T_c, inl_c = carry
         T_n = kabsch.weighted_kabsch(p, q, inl_c.astype(p.dtype))
-        err_n, thr_n = _pair_errors(cfg, cam, T_n, p, q)
+        err_n, thr_n = _pair_errors(cfg, cam, T_n, p, q, info)
         inl_n = (err_n < thr_n) & valid
         # keep refit only if it does not lose inliers
         better = jnp.sum(inl_n) >= jnp.sum(inl_c)

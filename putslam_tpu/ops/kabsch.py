@@ -85,3 +85,27 @@ def alignment_residuals(T: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray
     """‖T·p − q‖ per pair, broadcasting T (..., 7) over points (..., n, 3)."""
     pred = se3.apply(T[..., None, :], p)
     return jnp.linalg.norm(pred - q, axis=-1)
+
+
+def transform_covariance(T: jnp.ndarray, p: jnp.ndarray, w: jnp.ndarray,
+                         point_var: float = 1.0) -> jnp.ndarray:
+    """6×6 covariance of the estimated transform in the twist tangent at T.
+
+    Gauss-Newton form of the reference's implicit-function-theorem
+    propagation (include/putslam/TransformEst/transformEst.h:29-272 — Euler
+    and quaternion ``ConvertUncertainty``): at the optimum,
+    Cov(ξ) = σ² (Σ wᵢ JᵢᵀJᵢ)⁻¹ with Jᵢ = ∂(T·pᵢ)/∂ξ = [I | −skew(T·pᵢ)]
+    (left perturbation) — the same quantity, without symbolic Jacobian
+    tables. ``point_var`` is the isotropic measurement variance σ²;
+    anisotropic weights can be folded into ``w``.
+
+    p: (..., n, 3) source points; w: (..., n) weights (inlier mask).
+    Returns (..., 6, 6).
+    """
+    tp = se3.apply(T[..., None, :], p)                       # (..., n, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), tp.shape[:-1] + (3, 3))
+    J = jnp.concatenate([eye, -se3.skew(tp)], axis=-1)       # (..., n, 3, 6)
+    H = jnp.einsum("...n,...nri,...nrj->...ij", w, J, J)     # (..., 6, 6)
+    # damped inverse for degenerate configurations
+    H = H + 1e-9 * jnp.eye(6, dtype=p.dtype)
+    return point_var * jnp.linalg.inv(H)
