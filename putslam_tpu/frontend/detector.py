@@ -55,6 +55,22 @@ def _pyramid_shapes(cfg: SlamConfig):
     return shapes
 
 
+def _level_budgets(cfg: SlamConfig):
+    """Static per-level keypoint budgets summing to max_features (geometric
+    split: coarse levels hold fewer corners and descriptor extraction cost
+    is per-keypoint, so budgeting beats describe-everything-per-level)."""
+    N = cfg.detector.max_features
+    L = cfg.detector.n_pyramid_levels
+    if L == 1:
+        return [N]
+    coarse = [max(N // (2 ** (lvl + 1)), 32) for lvl in range(1, L)]
+    total_coarse = sum(coarse)
+    if total_coarse > N // 2:  # keep level 0 dominant
+        scale = (N // 2) / total_coarse
+        coarse = [max(int(b * scale), 16) for b in coarse]
+    return [N - sum(coarse)] + coarse
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
                         depth: jnp.ndarray) -> Features:
@@ -64,6 +80,7 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
     det = cfg.detector
     cam = cfg.camera
     N = det.max_features
+    budgets = _level_budgets(cfg)
 
     all_uv0, all_resp, all_oct, all_desc, all_ang, all_valid = [], [], [], [], [], []
     img = gray
@@ -71,9 +88,10 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
         if lvl > 0:
             img = jax.image.resize(gray, (Hl, Wl), method="linear")
         scale = cfg.detector.scale_factor ** lvl
+        Nl = budgets[lvl]
         uv_l, resp, valid = fast.detect(
             img, det.fast_threshold, det.nms_radius,
-            det.grid_rows, det.grid_cols, N,
+            det.grid_rows, det.grid_cols, Nl,
         )
         # exclude border keypoints (patch must fit; reference border policy)
         b = float(max(det.border // max(int(scale), 1), brief.PATCH // 2 + 1))
@@ -85,7 +103,7 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
         desc, ang = brief.describe(img, uv_l, valid)
         all_uv0.append(uv_l * scale)
         all_resp.append(jnp.where(valid, resp, 0.0))
-        all_oct.append(jnp.full((N,), lvl, jnp.int32))
+        all_oct.append(jnp.full((Nl,), lvl, jnp.int32))
         all_desc.append(desc)
         all_ang.append(ang)
         all_valid.append(valid)
@@ -96,14 +114,7 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
     desc = jnp.concatenate(all_desc)
     ang = jnp.concatenate(all_ang)
     valid = jnp.concatenate(all_valid)
-
-    # global top-N across levels by response (invalid slots carry 0)
-    top_resp, idx = jax.lax.top_k(resp, N)
-    uv0 = uv0[idx]
-    octv = octv[idx]
-    desc = desc[idx]
-    ang = ang[idx]
-    valid = valid[idx] & (top_resp > 0.0)
+    top_resp = resp
 
     # depth lift through undistortion + pinhole (RGBD.cpp:30-45, :254-314)
     z = camera_mod.sample_depth(depth, uv0)

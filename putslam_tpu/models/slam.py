@@ -123,15 +123,25 @@ def _landmark_indices_for(m: fm.MapState, pose, feat: Features):
     return jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def slam_step(cfg: SlamConfig, state: SlamState, gray, depth
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
+              gt_pose=None, playback: bool = False
               ) -> Tuple[SlamState, SlamOutputs]:
     key, k_vo, k_map = jax.random.split(state.key, 3)
     feat = detect_and_describe(cfg, gray, depth)
 
     # ---- 1. frame-to-frame VO prediction --------------------------------
-    vo_res = vo_mod.vo_step(cfg, k_vo, state.prev_feat, feat)
-    pose_pred = se3.compose(state.pose, vo_res.rel_pose)
+    # playback mode = the reference's "inverse SLAM problem" (startPlaying,
+    # PUTSLAM.cpp:336-393): a known trajectory drives the map/backend with
+    # no visual odometry in the loop.
+    if playback:
+        vo_res = vo_mod.VOStepResult(
+            se3.identity(), jnp.int32(0), jnp.int32(0), jnp.float32(1.0),
+            jnp.asarray(True))
+        pose_pred = gt_pose
+    else:
+        vo_res = vo_mod.vo_step(cfg, k_vo, state.prev_feat, feat)
+        pose_pred = se3.compose(state.pose, vo_res.rel_pose)
 
     # ---- 2. guided map matching (matchXYZ) + absolute pose RANSAC -------
     gm = fm.guided_match(cfg, state.map, pose_pred, feat)
@@ -310,6 +320,31 @@ def slam_sequence(cfg: SlamConfig, state: SlamState, grays, depths):
         return slam_step(cfg, s, frame[0], frame[1])
 
     return jax.lax.scan(body, state, (grays, depths))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def slam_sequence_playback(cfg: SlamConfig, state: SlamState, grays, depths,
+                           gt_poses):
+    """Playback (inverse-SLAM) scan: GT poses drive the map/backend."""
+
+    def body(s, frame):
+        return slam_step(cfg, s, frame[0], frame[1], frame[2], True)
+
+    return jax.lax.scan(body, state, (grays, depths, gt_poses))
+
+
+def run_playback(cfg: SlamConfig, grays, depths, gt_poses, seed: int = 0):
+    """Host wrapper for the playback mode; returns (poses, outs, state)."""
+    import numpy as np
+
+    g = jnp.asarray(grays)
+    d = jnp.asarray(depths)
+    gt = jnp.asarray(gt_poses)
+    state = slam_init(cfg, g[0], d[0], gt[0], seed)
+    state, outs = slam_sequence_playback(cfg, state, g[1:], d[1:], gt[1:])
+    poses = np.concatenate([np.asarray(gt[0])[None], np.asarray(outs.pose)],
+                           axis=0)
+    return poses, jax.tree.map(np.asarray, outs), state
 
 
 def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0):
