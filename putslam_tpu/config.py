@@ -65,6 +65,7 @@ class DetectorConfig:
     scale_factor: float = 1.41421356 # per-level downscale (sqrt(2))
     nms_radius: int = 3              # DBScan-equivalent declustering radius (dbscan.cpp:79-123)
     patch_size: int = 32             # descriptor patch (rBRIEF standard)
+    descriptor: str = "brief"        # "brief" (rBRIEF) | "ldb" (grid tests, src/LDB)
     border: int = 20                 # keypoint exclusion border
 
 

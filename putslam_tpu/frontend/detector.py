@@ -100,7 +100,7 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
             & (uv_l[:, 1] >= b) & (uv_l[:, 1] <= Hl - 1 - b)
         )
         valid = valid & inb
-        desc, ang = brief.describe(img, uv_l, valid)
+        desc, ang = brief.describe(img, uv_l, valid, kind=det.descriptor)
         all_uv0.append(uv_l * scale)
         all_resp.append(jnp.where(valid, resp, 0.0))
         all_oct.append(jnp.full((Nl,), lvl, jnp.int32))

@@ -140,16 +140,103 @@ def _make_steer_bank() -> np.ndarray:
 _STEER_BANK = jnp.asarray(_make_steer_bank(), dtype=jnp.bfloat16)
 
 
-def steered_brief(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """Compute 256-bit steered-BRIEF descriptors as ±1 int8.
+# ---------------------------------------------------------------------------
+# LDB-style bank: multi-gridding cell-average intensity + gradient tests
+# (reference: src/LDB/ldb.cpp — 2×2/3×3/4×4 griddings, per-cell mean
+# intensity / dx / dy compared across cell pairs; 256-bit selection). Every
+# LDB test is a *linear functional* of the patch, so the whole descriptor is
+# one more constant bank for the same matmul — rotation handled by building
+# the cell-membership masks in rotated coordinates per orientation bin.
+# ---------------------------------------------------------------------------
+
+LDB_RADIUS = 13.0  # cells live inside this disc (fits rotated in the patch)
+
+
+def _ldb_cell_weights(grid: int, theta: float) -> np.ndarray:
+    """(grid², P*P) normalized membership masks of a grid×grid tiling of the
+    square [-r, r]², rotated by theta."""
+    c, s = np.cos(theta), np.sin(theta)
+    # patch pixel coords rotated back into the cell frame
+    xr = c * _XREL_NP + s * _YREL_NP
+    yr = -s * _XREL_NP + c * _YREL_NP
+    r = LDB_RADIUS
+    cell_w = 2 * r / grid
+    ix = np.floor((xr + r) / cell_w).astype(np.int64)
+    iy = np.floor((yr + r) / cell_w).astype(np.int64)
+    inside = (xr >= -r) & (xr < r) & (yr >= -r) & (yr < r)
+    W = np.zeros((grid * grid, PATCH * PATCH), np.float32)
+    flat_cell = (iy * grid + ix).reshape(-1)
+    flat_in = inside.reshape(-1)
+    for pix in range(PATCH * PATCH):
+        if flat_in[pix]:
+            W[flat_cell[pix], pix] += 1.0
+    W /= np.maximum(W.sum(axis=1, keepdims=True), 1.0)
+    return W
+
+
+def _shift_matrix(dx: int, dy: int) -> np.ndarray:
+    """(P², P²) permutation-ish matrix: (S @ patch_flat)[y,x] = patch[y+dy, x+dx]."""
+    S = np.zeros((PATCH * PATCH, PATCH * PATCH), np.float32)
+    for y in range(PATCH):
+        for x in range(PATCH):
+            ys, xs = min(max(y + dy, 0), PATCH - 1), min(max(x + dx, 0), PATCH - 1)
+            S[y * PATCH + x, ys * PATCH + xs] = 1.0
+    return S
+
+
+def _make_ldb_bank() -> np.ndarray:
+    """(P*P, N_BINS*256): LDB tests per orientation bin. Test set: all cell
+    pairs of the 2×2 and 3×3 griddings and a fixed subset of the 4×4
+    gridding, with intensity/dx/dy channels interleaved, truncated to 256."""
+    Sdx = _shift_matrix(1, 0) - _shift_matrix(-1, 0)
+    Sdy = _shift_matrix(0, 1) - _shift_matrix(0, -1)
+    bank = np.zeros((PATCH * PATCH, N_BINS * DESC_BITS), np.float32)
+    rng = np.random.default_rng(5)
+    for b in range(N_BINS):
+        th = 2.0 * np.pi * b / N_BINS
+        cols = []
+        for grid in (2, 3, 4):
+            W = _ldb_cell_weights(grid, th)           # (g², P²)
+            n = W.shape[0]
+            pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+            if grid == 4:
+                sel = rng.permutation(len(pairs))[:44]
+                pairs = [pairs[k] for k in sel]
+            for (i, j) in pairs:
+                d = W[i] - W[j]
+                cols.append(d)                         # intensity
+                cols.append(d @ Sdx * 0.5)             # mean dx
+                cols.append(d @ Sdy * 0.5)             # mean dy
+        cols = np.stack(cols[:DESC_BITS], axis=1)      # (P², 256)
+        bank[:, b * DESC_BITS:(b + 1) * DESC_BITS] = cols
+    return bank
+
+
+_XREL_NP = _xx - _cx
+_YREL_NP = _yy - _cy
+
+_LDB_BANK = None  # built lazily (it is ~1s of numpy)
+
+
+def _get_ldb_bank():
+    global _LDB_BANK
+    if _LDB_BANK is None:
+        _LDB_BANK = jnp.asarray(_make_ldb_bank(), dtype=jnp.bfloat16)
+    return _LDB_BANK
+
+
+def steered_brief(patches: jnp.ndarray, angles: jnp.ndarray,
+                  kind: str = "brief") -> jnp.ndarray:
+    """Compute 256-bit steered binary descriptors as ±1 int8.
 
     patches: (N, P, P) smoothed intensity patches; angles: (N,) radians.
-    Returns (N, 256) int8 in {−1, +1}; bit t is +1 iff I(p_t) < I(q_t) after
-    rotating the test pattern by the keypoint angle quantized to N_BINS.
+    ``kind``: "brief" (pairwise point tests) or "ldb" (grid cell-average
+    intensity/gradient tests). Returns (N, 256) int8 in {−1, +1}.
     """
     N = patches.shape[0]
+    bank = _STEER_BANK if kind == "brief" else _get_ldb_bank()
     flat = patches.reshape(N, PATCH * PATCH).astype(jnp.bfloat16)
-    diffs = jnp.dot(flat, _STEER_BANK,
+    diffs = jnp.dot(flat, bank,
                     preferred_element_type=jnp.float32)       # (N, B*256)
     diffs = diffs.reshape(N, N_BINS, DESC_BITS)
     tau = jnp.mod(angles, 2.0 * jnp.pi)
@@ -158,9 +245,9 @@ def steered_brief(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(sel > 0, jnp.int8(1), jnp.int8(-1))
 
 
-@functools.partial(jax.jit, static_argnames=("smooth_radius",))
+@functools.partial(jax.jit, static_argnames=("smooth_radius", "kind"))
 def describe(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
-             smooth_radius: int = 2):
+             smooth_radius: int = 2, kind: str = "brief"):
     """Full descriptor stage: blur → patches → orientation → steered BRIEF.
 
     Returns (desc (N,256) int8 ±1, angles (N,) float32). Invalid keypoints
@@ -169,7 +256,7 @@ def describe(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     sm = box_blur(img, smooth_radius)
     patches = extract_patches(sm, uv)
     ang = orientations(patches)
-    desc = steered_brief(patches, ang)
+    desc = steered_brief(patches, ang, kind)
     desc = jnp.where(valid[:, None], desc, jnp.int8(0))
     return desc, ang
 

@@ -206,3 +206,25 @@ def test_kabsch_degenerate_no_nan():
     q = jnp.zeros((8, 3))
     T = kabsch.weighted_kabsch(p, q, jnp.zeros((8,)))
     assert np.isfinite(np.asarray(T)).all()
+
+
+def test_ldb_descriptor_distinct_and_rotation_tolerant():
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(3)
+    big = ndi.gaussian_filter(rng.uniform(0, 1, (200, 200)).astype(np.float32), 2.0)
+    rot = ndi.rotate(big, -30.0, reshape=False, order=1)
+    c = 100
+    p0 = big[c - 16:c + 16, c - 16:c + 16]
+    p1 = rot[c - 16:c + 16, c - 16:c + 16]
+    a0 = brief.orientations(jnp.asarray(p0[None]))
+    a1 = brief.orientations(jnp.asarray(p1[None]))
+    d0 = np.asarray(brief.steered_brief(jnp.asarray(p0[None]), a0, "ldb"))[0]
+    d1 = np.asarray(brief.steered_brief(jnp.asarray(p1[None]), a1, "ldb"))[0]
+    same = int((d0 != d1).sum())
+    p2 = big[40:72, 40:72]
+    d2 = np.asarray(brief.steered_brief(
+        jnp.asarray(p2[None]), brief.orientations(jnp.asarray(p2[None])), "ldb"))[0]
+    diff = int((d0 != d2).sum())
+    assert same < 100, same        # well below random (128)
+    assert diff > same + 10, (same, diff)
