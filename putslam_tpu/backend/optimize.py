@@ -65,6 +65,134 @@ def _assemble_obs(bcfg: BackendConfig, kf_pose, lm_pos, lm_valid, g: GraphState,
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def gauss_newton_pcg(bcfg: BackendConfig,
+                     kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
+                     lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
+                     g: GraphState,
+                     fixed_kf: jnp.ndarray,
+                     lm_gen: jnp.ndarray = None) -> BAResult:
+    """Matrix-free variant: the reduced camera system S·x = b is solved by
+    block-Jacobi-preconditioned conjugate gradients, applying
+    S v = H_cc v − H_cl (H_ll⁻¹ (H_lc v)) through per-observation 6×3
+    products and segment sums — no (K·6, L·3) coupling matrix is ever
+    materialized. This is the reference's LinearSolverPCG architecture
+    (graph_g2o.cpp:35) rebuilt batched; use for maps too large for the
+    dense Schur path."""
+    K = kf_pose.shape[0]
+    L = lm_pos.shape[0]
+    lam = bcfg.damping
+
+    def iteration(carry, _):
+        kf_pose, lm_pos = carry
+        r, Jp, Jl, w, sq = _assemble_obs(bcfg, kf_pose, lm_pos, lm_valid, g,
+                                         lm_gen)
+        chi2 = jnp.sum(sq)
+
+        B = jnp.einsum("m,mri,mrj->mij", w, Jp, Jl)             # (M,6,3)
+        JpT_Jp = jnp.einsum("m,mri,mrj->mij", w, Jp, Jp)        # (M,6,6)
+        JlT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jl, Jl)        # (M,3,3)
+        bp = -jnp.einsum("m,mri,mr->mi", w, Jp, r)
+        bl = -jnp.einsum("m,mri,mr->mi", w, Jl, r)
+
+        H_cc_diag = jnp.zeros((K, 6, 6), kf_pose.dtype).at[g.obs_kf].add(JpT_Jp)
+        H_ll = jnp.zeros((L, 3, 3), kf_pose.dtype).at[g.obs_lm].add(JlT_Jl)
+        b_c = jnp.zeros((K, 6), kf_pose.dtype).at[g.obs_kf].add(bp)
+        b_l = jnp.zeros((L, 3), kf_pose.dtype).at[g.obs_lm].add(bl)
+
+        # pose-pose edges: diagonal + off-diagonal kept per-edge for matvec
+        pi = kf_pose[g.pp_i]
+        pj = kf_pose[g.pp_j]
+        r6 = factors.pp_residual(pi, pj, g.pp_rel)
+        Ji, Jj = factors.pp_jacobians(pi, pj, g.pp_rel)
+        wpp_info = g.pp_w * g.pp_valid
+        sq_pp = wpp_info * jnp.sum(r6 * r6, axis=-1)
+        wpp = wpp_info * factors.robust_weight(sq_pp, bcfg.robust_kernel,
+                                               bcfg.robust_delta)
+        chi2 = chi2 + jnp.sum(sq_pp)
+        Hii = jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji)
+        Hjj = jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj)
+        Hij = jnp.einsum("e,eri,erj->eij", wpp, Ji, Jj)
+        H_cc_diag = H_cc_diag.at[g.pp_i].add(Hii).at[g.pp_j].add(Hjj)
+        b_c = b_c.at[g.pp_i].add(-jnp.einsum("e,eri,er->ei", wpp, Ji, r6))
+        b_c = b_c.at[g.pp_j].add(-jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
+
+        tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
+        H_ll_inv = inv3x3(H_ll + (lam * (1.0 + tr_ll))[:, None, None]
+                          * jnp.eye(3, dtype=kf_pose.dtype))
+
+        frozen = fixed_kf | ~kf_valid
+        diag_scale = jnp.maximum(
+            jnp.max(jnp.abs(jnp.einsum("kii->k", H_cc_diag))), 1.0) / 6.0
+
+        def S_matvec(v):                                        # v: (K, 6)
+            v = jnp.where(frozen[:, None], 0.0, v)
+            u = jnp.einsum("kij,kj->ki", H_cc_diag, v)
+            # pp off-diagonal blocks
+            u = u.at[g.pp_i].add(jnp.einsum("eij,ej->ei", Hij, v[g.pp_j]))
+            u = u.at[g.pp_j].add(jnp.einsum("eji,ej->ei", Hij, v[g.pp_i]))
+            # − H_cl H_ll⁻¹ H_lc v via per-observation products
+            a = jnp.einsum("mij,mi->mj", B, v[g.obs_kf])        # (M,3)
+            t1 = jnp.zeros((L, 3), v.dtype).at[g.obs_lm].add(a)
+            t2 = jnp.einsum("lab,lb->la", H_ll_inv, t1)
+            c = jnp.einsum("mij,mj->mi", B, t2[g.obs_lm])       # (M,6)
+            u = u - jnp.zeros((K, 6), v.dtype).at[g.obs_kf].add(c)
+            u = u + (lam * diag_scale) * v
+            return jnp.where(frozen[:, None], v, u)
+
+        # block-Jacobi preconditioner from H_cc diagonal blocks
+        eye6 = jnp.eye(6, dtype=kf_pose.dtype)
+        M_blocks = H_cc_diag + (lam * diag_scale + 1e-6) * eye6
+        M_inv = jnp.linalg.inv(M_blocks)                        # (K,6,6)
+
+        def M_solve(v):
+            out = jnp.einsum("kij,kj->ki", M_inv, v)
+            return jnp.where(frozen[:, None], v, out)
+
+        b_vec = jnp.where(frozen[:, None], 0.0, b_c)
+
+        def pcg_step(carry, _):
+            x, rr, p, rz = carry
+            Sp = S_matvec(p)
+            denom = jnp.sum(p * Sp)
+            alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+            x = x + alpha * p
+            rr = rr - alpha * Sp
+            z = M_solve(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+            p = z + beta * p
+            return (x, rr, p, rz_new), rz_new
+
+        x0 = jnp.zeros_like(b_vec)
+        z0 = M_solve(b_vec)
+        (dc_mat, _, _, _), _ = jax.lax.scan(
+            pcg_step, (x0, b_vec, z0, jnp.sum(b_vec * z0)), None,
+            length=bcfg.pcg_iterations)
+        dc = dc_mat.reshape(K * 6)
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        dc = jnp.where(jnp.all(jnp.abs(dc) < 1e3), dc, 0.0)
+        dc_mat = dc.reshape(K, 6)
+
+        # landmark back-substitution via per-observation products
+        a = jnp.einsum("mij,mi->mj", B, dc_mat[g.obs_kf])
+        Hlc_dc = jnp.zeros((L, 3), kf_pose.dtype).at[g.obs_lm].add(a)
+        dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
+        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
+
+        new_pose = se3.retract(kf_pose, dc_mat)
+        new_pose = jnp.where(frozen[:, None], kf_pose, new_pose)
+        moved = lm_valid & (jnp.abs(dl).max(axis=-1) < 1e3)
+        new_lm = jnp.where(moved[:, None], lm_pos + dl, lm_pos)
+        return (new_pose, new_lm), chi2
+
+    (kf_out, lm_out), chi2s = jax.lax.scan(
+        iteration, (kf_pose, lm_pos), None, length=bcfg.gn_iterations)
+    _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
+                                         lm_gen)
+    return BAResult(kf_out, lm_out, chi2s, sq_final)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def gauss_newton(bcfg: BackendConfig,
                  kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
                  lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
@@ -169,6 +297,13 @@ def gauss_newton(bcfg: BackendConfig,
     _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
                                          lm_gen)
     return BAResult(kf_out, lm_out, chi2s, sq_final)
+
+
+def optimize_graph(bcfg: BackendConfig, kf_pose, kf_valid, lm_pos, lm_valid,
+                   g: GraphState, fixed_kf, lm_gen=None) -> BAResult:
+    """Solver front door: dispatches on bcfg.solver ("dense_schur" | "pcg")."""
+    fn = gauss_newton if bcfg.solver == "dense_schur" else gauss_newton_pcg
+    return fn(bcfg, kf_pose, kf_valid, lm_pos, lm_valid, g, fixed_kf, lm_gen)
 
 
 def prune_mask_from_errors(bcfg: BackendConfig, sq_err: jnp.ndarray,

@@ -156,6 +156,11 @@ class BackendConfig:
     max_pose_pose_edges: int = 1024
     max_observations: int = 65536         # pose-landmark measurement capacity
     gn_iterations: int = 4                # per optimize() call (reference uses 1-iter loop)
+    # linear solver for the reduced camera system: "dense_schur" materializes
+    # the (K6, L3) coupling and one MXU matmul (fast for K<=256, L<=8192);
+    # "pcg" is matrix-free block-Jacobi preconditioned CG (the reference's
+    # LinearSolverPCG choice, graph_g2o.cpp:35 — scales to larger maps)
+    solver: str = "dense_schur"
     pcg_iterations: int = 64
     pcg_tol: float = 1e-6
     damping: float = 1e-5                 # LM-style relative diagonal damping

@@ -218,7 +218,7 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         # the active window (map compression, featuresMap.cpp:1056-1104)
         fixed = fm.active_window_fixed(m_in, cfg.map.max_frames_window)
         fixed = fixed.at[0].set(True)
-        res = opt_mod.gauss_newton(
+        res = opt_mod.optimize_graph(
             cfg.backend, m_in.kf_pose, m_in.kf_valid,
             m_in.lm_pos, m_in.lm_valid, g_in, fixed,
             lm_gen=m_in.lm_gen)

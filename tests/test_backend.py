@@ -182,3 +182,26 @@ def test_factor_jacobians_match_autodiff(rng):
         Jl_ad = jax.jacfwd(lambda l: factors.obs_residual(kf[i], l, z[i]))(lm[i])
         np.testing.assert_allclose(np.asarray(Jl[i]), np.asarray(Jl_ad),
                                    atol=1e-4)
+
+
+def test_pcg_solver_matches_dense(rng):
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(rng, noise=0.003)
+    K, L = kf_init.shape[0], lm_init.shape[0]
+    fixed = jnp.zeros((K,), bool).at[0].set(True)
+    dense = BackendConfig(gn_iterations=4, robust_kernel="cauchy",
+                          damping=1e-5, solver="dense_schur")
+    # PCG needs a couple more outer iterations to match the exact dense solve
+    pcg = BackendConfig(gn_iterations=7, robust_kernel="cauchy",
+                        damping=1e-5, solver="pcg", pcg_iterations=64)
+    r1 = optimize.optimize_graph(dense, jnp.asarray(kf_init),
+                                 jnp.ones((K,), bool), jnp.asarray(lm_init),
+                                 jnp.ones((L,), bool), g, fixed)
+    r2 = optimize.optimize_graph(pcg, jnp.asarray(kf_init),
+                                 jnp.ones((K,), bool), jnp.asarray(lm_init),
+                                 jnp.ones((L,), bool), g, fixed)
+    # both reduce chi2 by orders of magnitude and land on the same solution
+    c1, c2 = np.asarray(r1.chi2), np.asarray(r2.chi2)
+    assert c2[-1] < 1e-3 * c2[0], c2
+    assert c2[-1] < 2.0 * c1[-1] + 1e-6, (c1, c2)
+    np.testing.assert_allclose(np.asarray(r1.kf_pose)[:, :3],
+                               np.asarray(r2.kf_pose)[:, :3], atol=5e-3)
