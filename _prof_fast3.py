@@ -1,0 +1,28 @@
+import sys, time, jax, jax.numpy as jnp
+from putslam_tpu.config import tum_fr1_config
+from putslam_tpu.io import synthetic
+from putslam_tpu.ops import fast as fast_mod
+cfg = tum_fr1_config(); det = cfg.detector
+poses = synthetic.orbit_trajectory(4, radius=0.10, yaw_amp=0.1)
+grays, depths = synthetic.render_sequence(cfg.camera, poses)
+g = jax.block_until_ready(grays[0])
+def timeit(name, fn, *args, reps=30):
+    t0=time.time(); out = jax.block_until_ready(fn(*args)); print(f"{name} compile {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(reps): out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"{name:28s} {(time.time()-t0)/reps*1e3:8.3f} ms", flush=True)
+    return out
+@jax.jit
+def upto_topk(g):
+    raw = fast_mod.fast_score_map(g, det.fast_threshold)
+    s = fast_mod.nms(raw, det.nms_radius)
+    return fast_mod.grid_topk(s, det.grid_rows, det.grid_cols, det.max_features)
+uv, resp, valid = timeit("score+nms+topk", upto_topk, g)
+@jax.jit
+def with_subpix(g):
+    raw = fast_mod.fast_score_map(g, det.fast_threshold)
+    s = fast_mod.nms(raw, det.nms_radius)
+    uv, resp, valid = fast_mod.grid_topk(s, det.grid_rows, det.grid_cols, det.max_features)
+    return jnp.where(valid[:, None], fast_mod.subpixel_refine(raw, uv), uv), resp, valid
+timeit("  + subpixel", with_subpix, g)
