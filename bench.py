@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from putslam_tpu.config import tum_fr1_config
 from putslam_tpu.io import synthetic
@@ -27,28 +28,36 @@ from putslam_tpu.models import vo
 
 REFERENCE_FPS = 30.0
 N_FRAMES = 64
-N_TIMED_REPS = 3
+N_TIMED_REPS = 8
+
+
+def _fetch(x):
+    """Force a device→host round trip. On tunneled backends
+    jax.block_until_ready can return before execution finishes, so honest
+    timing must end with an actual output fetch (the device stream executes
+    in order, so fetching the last rep's output fences all earlier reps)."""
+    np.asarray(x).ravel()[0]
 
 
 def main():
     cfg = tum_fr1_config()
     poses = synthetic.orbit_trajectory(N_FRAMES, radius=0.10, yaw_amp=0.1)
     grays, depths = synthetic.render_sequence(cfg.camera, poses)
-    grays = jax.block_until_ready(grays)
 
     key = jax.random.PRNGKey(0)
     # compile + warm up
-    t0 = time.time()
     est, stats = vo.vo_sequence(cfg, grays, depths, key)
-    jax.block_until_ready(est)
-    compile_s = time.time() - t0
+    _fetch(est)
+    est, stats = vo.vo_sequence(cfg, grays, depths, key)
+    _fetch(est)
 
     times = []
-    for _ in range(N_TIMED_REPS):
+    for _ in range(3):
         t0 = time.time()
-        est, stats = vo.vo_sequence(cfg, grays, depths, key)
-        jax.block_until_ready(est)
-        times.append(time.time() - t0)
+        for _ in range(N_TIMED_REPS):
+            est, stats = vo.vo_sequence(cfg, grays, depths, key)
+        _fetch(est)
+        times.append((time.time() - t0) / N_TIMED_REPS)
     best = min(times)
     fps = (N_FRAMES - 1) / best
 

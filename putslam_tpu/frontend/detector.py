@@ -82,7 +82,7 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
     N = det.max_features
     budgets = _level_budgets(cfg)
 
-    all_uv0, all_resp, all_oct, all_desc, all_ang, all_valid = [], [], [], [], [], []
+    all_uv0, all_resp, all_oct, all_patch, all_valid = [], [], [], [], []
     img = gray
     for lvl, (Hl, Wl) in enumerate(_pyramid_shapes(cfg)):
         if lvl > 0:
@@ -100,20 +100,23 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
             & (uv_l[:, 1] >= b) & (uv_l[:, 1] <= Hl - 1 - b)
         )
         valid = valid & inb
-        desc, ang = brief.describe(img, uv_l, valid, kind=det.descriptor)
+        # raw patches: BRIEF's pre-smoothing is folded into the bank constant
+        all_patch.append(brief.extract_patches(img, uv_l))
         all_uv0.append(uv_l * scale)
         all_resp.append(jnp.where(valid, resp, 0.0))
         all_oct.append(jnp.full((Nl,), lvl, jnp.int32))
-        all_desc.append(desc)
-        all_ang.append(ang)
         all_valid.append(valid)
 
     uv0 = jnp.concatenate(all_uv0)
     resp = jnp.concatenate(all_resp)
     octv = jnp.concatenate(all_oct)
-    desc = jnp.concatenate(all_desc)
-    ang = jnp.concatenate(all_ang)
     valid = jnp.concatenate(all_valid)
+    # ONE fused descriptor matmul over every level's patches (the per-level
+    # split above only affects the cheap blur/gather, so the MXU sees a
+    # single (max_features, P²) batch instead of L small ones)
+    desc, ang = brief.describe_patches(
+        jnp.concatenate(all_patch), kind=det.descriptor)
+    desc = jnp.where(valid[:, None], desc, jnp.int8(0))
     top_resp = resp
 
     # depth lift through undistortion + pinhole (RGBD.cpp:30-45, :254-314)

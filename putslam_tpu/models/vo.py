@@ -60,33 +60,55 @@ def vo_step(cfg: SlamConfig, key: jax.Array, prev: Features, curr: Features
                         res.n_inliers, res.inlier_ratio, ok)
 
 
+DETECT_CHUNK = 8  # frames detected per vmapped map step (bounds live HBM)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def detect_sequence(cfg: SlamConfig, grays: jnp.ndarray, depths: jnp.ndarray
+                    ) -> Features:
+    """Detect + describe every frame of a stacked (T, H, W) sequence.
+
+    Per-frame detection has no cross-frame dependency, so it runs *batched*
+    (vmap over DETECT_CHUNK-frame blocks under ``lax.map``) instead of the
+    reference's one-frame-at-a-time loop — this is where the MXU/VPU get
+    their utilization from on playback workloads."""
+    return jax.lax.map(
+        lambda fr: detect_and_describe(cfg, fr[0], fr[1]),
+        (grays, depths), batch_size=min(DETECT_CHUNK, grays.shape[0]))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def vo_sequence(cfg: SlamConfig, grays: jnp.ndarray, depths: jnp.ndarray,
                 key: jax.Array, init_pose=None
                 ) -> Tuple[jnp.ndarray, VOStepResult]:
-    """Run VO over a whole stacked sequence under one ``lax.scan``.
+    """Run VO over a whole stacked sequence, frame-parallel.
 
     grays/depths: (T, H, W). Returns (poses (T, 7) world←camera, per-step
     stats stacked over T−1 steps). The first pose is ``init_pose`` (default
     identity — the reference takes it from the dataset's initialPosition,
-    fileGrabber.cpp:223-237)."""
+    fileGrabber.cpp:223-237).
+
+    TPU-first structure: the only *inherently sequential* part of
+    frame-to-frame VO is composing the relative poses — an associative
+    product. Everything else (detection, matching, RANSAC between
+    consecutive pairs) is independent per frame pair, so it runs as one
+    batched computation, and the pose chain is a ``lax.associative_scan``
+    (log-depth) instead of the reference's serial frame loop
+    (PUTSLAM.cpp:687-922)."""
     if init_pose is None:
         init_pose = se3.identity(dtype=grays.dtype)
-    first = detect_and_describe(cfg, grays[0], depths[0])
+    T = grays.shape[0]
+    feats = detect_sequence(cfg, grays, depths)
+    prev = jax.tree.map(lambda x: x[:-1], feats)
+    curr = jax.tree.map(lambda x: x[1:], feats)
+    keys = jax.random.split(key, T - 1)
+    stats = jax.vmap(lambda k, a, b: vo_step(cfg, k, a, b))(keys, prev, curr)
 
-    def step(carry, frame):
-        prev_feat, pose, k = carry
-        gray, depth = frame
-        k, sub = jax.random.split(k)
-        feat = detect_and_describe(cfg, gray, depth)
-        res = vo_step(cfg, sub, prev_feat, feat)
-        pose_new = se3.compose(pose, res.rel_pose)
-        return (feat, pose_new, k), (pose_new, res)
-
-    (_, _, _), (poses, stats) = jax.lax.scan(
-        step, (first, init_pose, key), (grays[1:], depths[1:])
-    )
-    all_poses = jnp.concatenate([init_pose[None], poses], axis=0)
+    chain = jnp.concatenate([init_pose[None], stats.rel_pose], axis=0)
+    all_poses = jax.lax.associative_scan(se3.compose, chain)
+    # renormalize quaternions (compose does not; drift is O(T·eps))
+    all_poses = se3.make_pose(se3.translation(all_poses),
+                              se3.quat_normalize(se3.rotation_quat(all_poses)))
     return all_poses, stats
 
 

@@ -36,15 +36,18 @@ def make_test_pattern(seed: int = 1234) -> np.ndarray:
     return np.clip(pts, -TEST_CLIP, TEST_CLIP)
 
 
-_PATTERN = jnp.asarray(make_test_pattern())
+_PATTERN = make_test_pattern()  # numpy: jit inlines it as a constant
 
 # Disc mask + coordinate grids for the intensity-centroid orientation
 # (radius = 15, ORB's standard moment patch).
 _yy, _xx = np.mgrid[0:PATCH, 0:PATCH].astype(np.float32)
 _cx = _cy = (PATCH - 1) / 2.0
-_DISC = jnp.asarray(((_xx - _cx) ** 2 + (_yy - _cy) ** 2 <= 15.0 ** 2).astype(np.float32))
-_XREL = jnp.asarray(_xx - _cx)
-_YREL = jnp.asarray(_yy - _cy)
+# NOTE: keep module-level constants as NUMPY — a jit that closes over a
+# device array pays a host sync + re-ship per call on remote backends,
+# while numpy constants fold into the compiled executable for free.
+_DISC = ((_xx - _cx) ** 2 + (_yy - _cy) ** 2 <= 15.0 ** 2).astype(np.float32)
+_XREL = _xx - _cx
+_YREL = _yy - _cy
 
 
 def box_blur(img: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
@@ -137,7 +140,31 @@ def _make_steer_bank() -> np.ndarray:
 
 # bf16 keeps the MXU at full rate; the descriptor is a sign test, so the
 # ~3-decimal-digit mantissa is ample (bits near zero flip under noise anyway)
-_STEER_BANK = jnp.asarray(_make_steer_bank(), dtype=jnp.bfloat16)
+_STEER_BANK = _make_steer_bank()  # numpy (see note above)
+
+
+def _make_moment_cols() -> np.ndarray:
+    """(P*P, 2) columns computing the ORB intensity-centroid moments
+    (m10, m01) over the radius-15 disc — appended to the descriptor bank so
+    orientation falls out of the SAME MXU matmul as the steering tests."""
+    disc = _DISC
+    return np.stack([(disc * _XREL_NP).reshape(-1),
+                     (disc * _YREL_NP).reshape(-1)], axis=1).astype(np.float32)
+
+
+def _blur_matrix(radius: int = 2) -> np.ndarray:
+    """(P², P²) separable box-blur as a matrix over flattened patches, edge
+    taps clamped. Left-multiplying the test bank by its transpose folds
+    BRIEF's pre-smoothing INTO the constant bank, so the runtime pipeline
+    needs no blurred image at all (blur ∘ sample is itself a linear
+    functional of the raw patch)."""
+    w = 2 * radius + 1
+    B1 = np.zeros((PATCH, PATCH), np.float32)
+    for i in range(PATCH):
+        for d in range(-radius, radius + 1):
+            B1[i, min(max(i + d, 0), PATCH - 1)] += 1.0 / w
+    # separable: blur2d = B1_rows ⊗ B1_cols acting on vec(patch)
+    return np.kron(B1, B1)
 
 
 # ---------------------------------------------------------------------------
@@ -221,42 +248,91 @@ _LDB_BANK = None  # built lazily (it is ~1s of numpy)
 def _get_ldb_bank():
     global _LDB_BANK
     if _LDB_BANK is None:
-        _LDB_BANK = jnp.asarray(_make_ldb_bank(), dtype=jnp.bfloat16)
-    return _LDB_BANK
+        _LDB_BANK = _make_ldb_bank()  # cache numpy: safe under any trace
+    return jnp.asarray(_LDB_BANK, dtype=jnp.bfloat16)
+
+
+_FUSED_BANKS: dict = {}
+
+
+def _get_fused_bank(kind: str) -> jnp.ndarray:
+    """(P*P, N_BINS*256 + 2) bf16 constant: all steering bins' test columns
+    followed by the two orientation-moment columns (m10, m01), so descriptor
+    tests AND orientation come out of one MXU matmul.
+
+    The test columns are pre-composed with the box blur (see _blur_matrix),
+    so callers pass RAW patches — no blurred image is ever built. The
+    moment columns are NOT blurred (ORB computes moments on the raw image).
+
+    Cached as NUMPY (a jnp array built under an enclosing trace would leak
+    the tracer); jnp.asarray at the call site is a free constant fold."""
+    if kind not in _FUSED_BANKS:
+        bank = _make_steer_bank() if kind == "brief" else _make_ldb_bank()
+        bank = _blur_matrix().T @ bank   # (blur ∘ test) as one constant
+        _FUSED_BANKS[kind] = np.concatenate(
+            [bank, _make_moment_cols()], axis=1)
+    return jnp.asarray(_FUSED_BANKS[kind], dtype=jnp.bfloat16)
+
+
+def describe_patches(patches: jnp.ndarray, kind: str = "brief"):
+    """(N, P, P) RAW patches → (desc (N, 256) int8 ±1, angles (N,)).
+
+    One MXU matmul computes every orientation bin's 256 test responses plus
+    the intensity-centroid moments; the per-keypoint bin is then selected
+    with a one-hot contraction (MXU-friendly — no gather). BRIEF's
+    pre-smoothing is pre-composed into the bank constant, so no blurred
+    image is needed. Responses are sign tests, so the bf16 output precision
+    is ample."""
+    N = patches.shape[0]
+    bank = _get_fused_bank(kind)
+    flat = patches.reshape(N, PATCH * PATCH).astype(jnp.bfloat16)
+    out = jnp.dot(flat, bank,
+                  preferred_element_type=jnp.bfloat16)       # (N, B*256+2)
+    m10 = out[:, -2].astype(jnp.float32)
+    m01 = out[:, -1].astype(jnp.float32)
+    ang = jnp.arctan2(m01, m10)
+    tau = jnp.mod(ang, 2.0 * jnp.pi)
+    bins = jnp.round(tau / (2.0 * jnp.pi / N_BINS)).astype(jnp.int32) % N_BINS
+    diffs = out[:, :N_BINS * DESC_BITS].reshape(N, N_BINS, DESC_BITS)
+    onehot = jax.nn.one_hot(bins, N_BINS, dtype=jnp.bfloat16)
+    sel = jnp.einsum("nbd,nb->nd", diffs, onehot,
+                     preferred_element_type=jnp.float32)
+    return jnp.where(sel > 0, jnp.int8(1), jnp.int8(-1)), ang
 
 
 def steered_brief(patches: jnp.ndarray, angles: jnp.ndarray,
                   kind: str = "brief") -> jnp.ndarray:
-    """Compute 256-bit steered binary descriptors as ±1 int8.
-
-    patches: (N, P, P) smoothed intensity patches; angles: (N,) radians.
-    ``kind``: "brief" (pairwise point tests) or "ldb" (grid cell-average
-    intensity/gradient tests). Returns (N, 256) int8 in {−1, +1}.
-    """
+    """Compute 256-bit steered binary descriptors as ±1 int8 for externally
+    supplied ``angles`` (the fused path in ``describe_patches`` derives the
+    angle from the same matmul — prefer it; this entry point exists for
+    callers steering by a known orientation)."""
     N = patches.shape[0]
-    bank = _STEER_BANK if kind == "brief" else _get_ldb_bank()
+    bank = (jnp.asarray(_STEER_BANK, dtype=jnp.bfloat16)
+            if kind == "brief" else _get_ldb_bank())
     flat = patches.reshape(N, PATCH * PATCH).astype(jnp.bfloat16)
     diffs = jnp.dot(flat, bank,
-                    preferred_element_type=jnp.float32)       # (N, B*256)
+                    preferred_element_type=jnp.bfloat16)      # (N, B*256)
     diffs = diffs.reshape(N, N_BINS, DESC_BITS)
     tau = jnp.mod(angles, 2.0 * jnp.pi)
     bins = jnp.round(tau / (2.0 * jnp.pi / N_BINS)).astype(jnp.int32) % N_BINS
-    sel = jnp.take_along_axis(diffs, bins[:, None, None], axis=1)[:, 0, :]
+    onehot = jax.nn.one_hot(bins, N_BINS, dtype=jnp.bfloat16)
+    sel = jnp.einsum("nbd,nb->nd", diffs, onehot,
+                     preferred_element_type=jnp.float32)
     return jnp.where(sel > 0, jnp.int8(1), jnp.int8(-1))
 
 
 @functools.partial(jax.jit, static_argnames=("smooth_radius", "kind"))
 def describe(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
              smooth_radius: int = 2, kind: str = "brief"):
-    """Full descriptor stage: blur → patches → orientation → steered BRIEF.
+    """Full descriptor stage: raw patches → fused orientation+BRIEF (the
+    pre-smoothing lives inside the bank constant — ``smooth_radius`` kept
+    for API compatibility, radius 2 is baked in).
 
     Returns (desc (N,256) int8 ±1, angles (N,) float32). Invalid keypoints
     get zero descriptors (so their MXU dot products can never win a match).
     """
-    sm = box_blur(img, smooth_radius)
-    patches = extract_patches(sm, uv)
-    ang = orientations(patches)
-    desc = steered_brief(patches, ang, kind)
+    patches = extract_patches(img, uv)
+    desc, ang = describe_patches(patches, kind)
     desc = jnp.where(valid[:, None], desc, jnp.int8(0))
     return desc, ang
 

@@ -51,24 +51,30 @@ def fast_score_map(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """
     img = gray * 255.0
     t = jnp.float32(threshold)
-    # diffs[k] = I(p + offset_k) − I(p), for all p at once
-    diffs = jnp.stack([_shift2d(img, dx, dy) for (dx, dy) in FAST_OFFSETS]) - img[None]
-    bright = diffs > t            # (16, H, W)
-    dark = diffs < -t
+    # Accumulate everything in ONE unrolled pass over the 16 circle offsets:
+    # per-pixel 16-bit masks of bright/dark flags + the SAD excess sums.
+    # All elementwise over (H, W) — XLA fuses the chain into a few VPU loops
+    # with no (16, H, W) intermediates (the stacked-diff formulation costs
+    # ~10× the HBM traffic once detection is batched over frames).
+    mask_b = jnp.zeros(img.shape, jnp.int32)
+    mask_d = jnp.zeros(img.shape, jnp.int32)
+    excess_b = jnp.zeros(img.shape, jnp.float32)
+    excess_d = jnp.zeros(img.shape, jnp.float32)
+    for k, (dx, dy) in enumerate(FAST_OFFSETS):
+        diff = _shift2d(img, dx, dy) - img
+        mask_b = mask_b | ((diff > t).astype(jnp.int32) << k)
+        mask_d = mask_d | ((diff < -t).astype(jnp.int32) << k)
+        excess_b = excess_b + jnp.maximum(diff - t, 0.0)
+        excess_d = excess_d + jnp.maximum(-diff - t, 0.0)
 
-    def has_arc(flags):
-        # contiguous run of ARC_LENGTH among the 16 wrap-around positions:
-        # for each start s, AND of flags[s..s+8]; implemented as a sum == 9.
-        acc = jnp.zeros_like(flags, dtype=jnp.int32)  # (16, H, W) run sums
-        f = flags.astype(jnp.int32)
-        for j in range(ARC_LENGTH):
-            acc = acc + jnp.roll(f, -j, axis=0)
-        return jnp.any(acc == ARC_LENGTH, axis=0)
-
-    is_bright = has_arc(bright)
-    is_dark = has_arc(dark)
-    excess_b = jnp.sum(jnp.maximum(diffs - t, 0.0), axis=0)
-    excess_d = jnp.sum(jnp.maximum(-diffs - t, 0.0), axis=0)
+    # contiguous-run test: bits s..s+8 (cyclic over 16) all set for some s
+    is_bright = jnp.zeros(img.shape, bool)
+    is_dark = jnp.zeros(img.shape, bool)
+    full = (1 << 16) - 1
+    for s in range(16):
+        arc = (((0x1FF << s) | (0x1FF >> (16 - s))) & full)
+        is_bright = is_bright | ((mask_b & arc) == arc)
+        is_dark = is_dark | ((mask_d & arc) == arc)
     score = jnp.where(is_bright, excess_b, 0.0) + jnp.where(is_dark, excess_d, 0.0)
     # kill the 3-px border where the circle leaves the image
     H, W = gray.shape

@@ -18,7 +18,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-INVALID_DIST = jnp.float32(1e9)
+INVALID_DIST = 1e9  # python float: folds into jit as a constant
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray,

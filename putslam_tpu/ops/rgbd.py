@@ -50,9 +50,9 @@ def surface_normals(cam: CameraConfig, depth: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ok[..., None], n, 0.0)
 
 
-_SCHARR_X = jnp.asarray(np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]],
+_SCHARR_X = (np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]],
                                  np.float32) / 32.0)
-_SCHARR_Y = jnp.asarray(np.array([[-3, -10, -3], [0, 0, 0], [3, 10, 3]],
+_SCHARR_Y = (np.array([[-3, -10, -3], [0, 0, 0], [3, 10, 3]],
                                  np.float32) / 32.0)
 
 
