@@ -44,34 +44,47 @@ def _pair_errors(cfg: RansacConfig, cam: Optional[CameraConfig],
     """Per-pair error and threshold according to the configured model.
 
     T: (..., 7); p, q: (N, 3); info: optional (N, 3, 3) per-pair information
-    matrices (Mahalanobis model). Returns (err (..., N), thr (..., N))."""
-    pred = se3.apply(T[..., None, :], p)
+    matrices (Mahalanobis model). Returns (err (..., N), thr (..., N)).
+
+    Structure-of-arrays throughout: the predicted points are computed as
+    (..., N) component arrays (se3.apply_soa) — never as an (..., N, 3)
+    tensor whose size-3 minor dim would be tile-padded 42× on TPU."""
+    Te = T[..., None, :]                                  # (..., 1, 7)
+    x, y, z = se3.apply_soa(Te, p[..., 0], p[..., 1], p[..., 2])  # (..., N)
+    dx, dy, dz = x - q[..., 0], y - q[..., 1], z - q[..., 2]
+
+    def reproj_err():
+        # pixel-space distance between projected prediction and observation
+        zp = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        zo = jnp.where(jnp.abs(q[..., 2]) < 1e-9, 1e-9, q[..., 2])
+        du = cam.fu * (x / zp - q[..., 0] / zo)
+        dv = cam.fv * (y / zp - q[..., 1] / zo)
+        return jnp.sqrt(du * du + dv * dv)
+
     if cfg.error_version == 0:        # Euclidean, RANSAC.cpp:251-281
-        err = jnp.linalg.norm(pred - q, axis=-1)
+        err = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         thr = jnp.full_like(err, cfg.inlier_threshold_euclidean)
     elif cfg.error_version == 4:      # adaptive: threshold grows with depth
-        err = jnp.linalg.norm(pred - q, axis=-1)
+        err = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         thr = cfg.inlier_threshold_euclidean * jnp.maximum(q[..., 2], 1.0)
     elif cfg.error_version == 1:      # reprojection (px), RANSAC.cpp:316-368
-        uv_pred = camera_mod.project(cam, pred)
-        uv_obs = camera_mod.project(cam, q)
-        err = jnp.linalg.norm(uv_pred - uv_obs, axis=-1)
+        err = reproj_err()
         thr = jnp.full_like(err, cfg.inlier_threshold_reprojection)
     elif cfg.error_version == 2:      # Euclidean AND reprojection
-        e1 = jnp.linalg.norm(pred - q, axis=-1)
-        uv_pred = camera_mod.project(cam, pred)
-        uv_obs = camera_mod.project(cam, q)
-        e2 = jnp.linalg.norm(uv_pred - uv_obs, axis=-1)
+        e1 = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        e2 = reproj_err()
         # normalize both to their thresholds; inlier iff both pass
         err = jnp.maximum(e1 / cfg.inlier_threshold_euclidean,
                           e2 / cfg.inlier_threshold_reprojection)
         thr = jnp.ones_like(err)
     elif cfg.error_version == 3:      # Mahalanobis (RANSAC.cpp:383-436)
-        d = pred - q
         if info is None:
-            err = jnp.sum(d * d, axis=-1)
+            err = dx * dx + dy * dy + dz * dz
         else:
-            err = jnp.einsum("...ni,nij,...nj->...n", d, info, d)
+            i00, i01, i02 = info[:, 0, 0], info[:, 0, 1], info[:, 0, 2]
+            i11, i12, i22 = info[:, 1, 1], info[:, 1, 2], info[:, 2, 2]
+            err = (i00 * dx * dx + i11 * dy * dy + i22 * dz * dz
+                   + 2.0 * (i01 * dx * dy + i02 * dx * dz + i12 * dy * dz))
         thr = jnp.full_like(err, cfg.inlier_threshold_mahalanobis)
     else:
         raise ValueError(f"unsupported error_version {cfg.error_version}")
@@ -107,15 +120,18 @@ def estimate(cfg: RansacConfig, cam: Optional[CameraConfig],
         wgt = valid.astype(p.dtype)
     csum = jnp.cumsum(wgt)                                 # (N,)
     total = jnp.maximum(csum[-1], 1e-9)
-    u = jax.random.uniform(key, (H, cfg.used_pairs), maxval=1.0)
+    u = jax.random.uniform(key, (cfg.used_pairs, H), maxval=1.0)
     sample_idx = jnp.searchsorted(csum, u * total, side="left")
-    sample_idx = jnp.clip(sample_idx, 0, N - 1)
-    ps = p[sample_idx]            # (H, k, 3)
-    qs = q[sample_idx]
+    sample_idx = jnp.clip(sample_idx, 0, N - 1)           # (k, H)
 
     # --- fit all hypotheses at once ---------------------------------------
-    w = jnp.ones((H, cfg.used_pairs), p.dtype)
-    T = kabsch.weighted_kabsch(ps, qs, w)                 # (H, 7)
+    # Samples gathered per COMPONENT with the point axis leading ((k, H)
+    # arrays): the minimal-set Kabsch then never builds an (H, k, 3) tensor
+    # whose 3-wide minor dim would be tile-padded ~42× (see kabsch.kabsch_soa).
+    T = kabsch.kabsch_soa(
+        p[:, 0][sample_idx], p[:, 1][sample_idx], p[:, 2][sample_idx],
+        q[:, 0][sample_idx], q[:, 1][sample_idx], q[:, 2][sample_idx],
+    )                                                      # (H, 7)
 
     # --- score: masked inlier count + mean inlier error -------------------
     err, thr = _pair_errors(cfg, cam, T, p, q, info)      # (H, N)

@@ -153,6 +153,26 @@ def apply(p, pts):
     return quat_rotate(rotation_quat(p), pts) + translation(p)
 
 
+def apply_soa(p, px, py, pz):
+    """Structure-of-arrays point transform: pose (..., 7) applied to point
+    component arrays px/py/pz (each broadcastable against p[..., 0]).
+
+    Returns (x, y, z) component arrays. Use this instead of ``apply`` when
+    the broadcasted result would carry a size-3 trailing axis over a large
+    batch (e.g. RANSAC's (H, N, 3) predicted points): TPU pads tiny minor
+    dims to full (8, 128) vector tiles, so component arrays keep the batch
+    on the lane axis with zero padding waste."""
+    qw, qx, qy, qz = p[..., 3], p[..., 4], p[..., 5], p[..., 6]
+    # v' = v + 2 qw (qv × v) + 2 qv × (qv × v), expanded per component
+    tx = 2.0 * (qy * pz - qz * py)
+    ty = 2.0 * (qz * px - qx * pz)
+    tz = 2.0 * (qx * py - qy * px)
+    x = px + qw * tx + (qy * tz - qz * ty) + p[..., 0]
+    y = py + qw * ty + (qz * tx - qx * tz) + p[..., 1]
+    z = pz + qw * tz + (qx * ty - qy * tx) + p[..., 2]
+    return x, y, z
+
+
 def to_matrix(p):
     """(...,7) → (...,4,4) homogeneous matrices."""
     R = quat_to_matrix(rotation_quat(p))

@@ -60,7 +60,9 @@ def vo_step(cfg: SlamConfig, key: jax.Array, prev: Features, curr: Features
                         res.n_inliers, res.inlier_ratio, ok)
 
 
-DETECT_CHUNK = 8  # frames detected per vmapped map step (bounds live HBM)
+DETECT_CHUNK = 4  # frames detected per vmapped map step (bounds live HBM;
+                  # measured fastest at 4 on v5e — larger chunks thrash the
+                  # gather working set, smaller ones pay dispatch overhead)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
