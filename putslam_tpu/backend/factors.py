@@ -50,6 +50,68 @@ def obs_jacobians(kf_pose, lm_world) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Pose-landmark 2D reprojection: r = π(T_kf⁻¹(l_world)) − π(z_cam) ∈ R²
+# (the reference's custom g2o edge EdgeSE3PointXYZReprojectionError,
+# 3rdParty/g2o/g2o/types/slam3d/edge_se3_pointxyz_reprojectionError.h:27-94 —
+# measurement = the pixel where the landmark was observed; here recovered as
+# the projection of the stored camera-frame 3D measurement, so the same edge
+# store serves both factor types)
+# ---------------------------------------------------------------------------
+
+
+def _project(p_cam, fu: float, fv: float):
+    """Pinhole projection to *centered* pixel offsets (no principal point —
+    it cancels in the residual)."""
+    z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-6, 1e-6, p_cam[..., 2])
+    return jnp.stack([fu * p_cam[..., 0] / z, fv * p_cam[..., 1] / z], axis=-1)
+
+
+def reproj_residual(kf_pose, lm_world, z_cam, fu: float, fv: float):
+    """(...,7), (...,3), (...,3) → (...,2) pixel residual."""
+    p_cam = se3.apply(se3.inverse(kf_pose), lm_world)
+    return _project(p_cam, fu, fv) - _project(z_cam, fu, fv)
+
+
+def reproj_jacobians(kf_pose, lm_world, fu: float, fv: float
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic Jacobians of the reprojection residual: the chain of the
+    projection Jacobian (2×3) with the 3D-point Jacobians (3×6 / 3×3):
+        J_π = [[fu/z, 0, −fu·x/z²], [0, fv/z, −fv·y/z²]]
+    (matches the hand-derived linearizeOplus of the reference edge,
+    edge_se3_pointxyz_reprojectionError.cpp)."""
+    p_cam = se3.apply(se3.inverse(kf_pose), lm_world)
+    x, y = p_cam[..., 0], p_cam[..., 1]
+    z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-6, 1e-6, p_cam[..., 2])
+    zero = jnp.zeros_like(z)
+    J_pi = jnp.stack([
+        jnp.stack([fu / z, zero, -fu * x / (z * z)], axis=-1),
+        jnp.stack([zero, fv / z, -fv * y / (z * z)], axis=-1),
+    ], axis=-2)                                             # (...,2,3)
+    Jp3, Jl3 = obs_jacobians(kf_pose, lm_world)             # (...,3,6) (...,3,3)
+    J_pose = jnp.einsum("...ab,...bc->...ac", J_pi, Jp3)    # (...,2,6)
+    J_lm = jnp.einsum("...ab,...bc->...ac", J_pi, Jl3)      # (...,2,3)
+    return J_pose, J_lm
+
+
+def assemble_obs_terms(kf_p, lm_p, z_cam, error_type: int,
+                       fu: float = 1.0, fv: float = 1.0):
+    """Residuals + Jacobians for a batch of pose-landmark edges, dispatching
+    on the configured factor type (graph.h addEdge3D vs addEdgeSE3Reproj):
+    0 → 3D Euclidean (r (M,3), Jp (M,3,6), Jl (M,3,3)),
+    1 → 2D reprojection (r (M,2), Jp (M,2,6), Jl (M,2,3)).
+    All downstream normal-equation einsums are residual-dim agnostic."""
+    if error_type == 0:
+        r = obs_residual(kf_p, lm_p, z_cam)
+        Jp, Jl = obs_jacobians(kf_p, lm_p)
+    elif error_type == 1:
+        r = reproj_residual(kf_p, lm_p, z_cam, fu, fv)
+        Jp, Jl = reproj_jacobians(kf_p, lm_p, fu, fv)
+    else:
+        raise ValueError(f"unknown error_type {error_type}")
+    return r, Jp, Jl
+
+
+# ---------------------------------------------------------------------------
 # Pose-pose relative motion: r = log(Z⁻¹ ∘ T_i⁻¹ ∘ T_j) ∈ R⁶
 # ---------------------------------------------------------------------------
 

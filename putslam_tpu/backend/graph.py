@@ -28,13 +28,19 @@ class GraphState(NamedTuple):
     obs_xyz: jnp.ndarray    # (M, 3) measured point, observing-camera frame
     obs_w: jnp.ndarray      # (M,) float32 scalar information weight
     obs_gen: jnp.ndarray    # (M,) int32 landmark-slot generation at insert time
+    obs_kfgen: jnp.ndarray  # (M,) int32 keyframe-slot generation at insert time
     obs_valid: jnp.ndarray  # (M,) bool
     n_obs: jnp.ndarray      # () int32 total ever appended (write cursor)
+    # --- full 3×3 information matrices (use_uncertainty path; all-zero and
+    # ignored when the engine runs with scalar weights) ---------------------
+    obs_info: jnp.ndarray   # (M, 3, 3) float32
     # --- pose-pose edges -------------------------------------------------
     pp_i: jnp.ndarray       # (E,) int32
     pp_j: jnp.ndarray       # (E,) int32
     pp_rel: jnp.ndarray     # (E, 7) measured T_i⁻¹∘T_j
     pp_w: jnp.ndarray       # (E,) float32
+    pp_gen_i: jnp.ndarray   # (E,) int32 keyframe-slot generation of i at insert
+    pp_gen_j: jnp.ndarray   # (E,) int32 keyframe-slot generation of j at insert
     pp_valid: jnp.ndarray   # (E,) bool
     n_pp: jnp.ndarray       # () int32
 
@@ -56,28 +62,39 @@ def init_graph(max_observations: int, max_pose_pose: int,
         obs_xyz=jnp.zeros((M, 3), dtype),
         obs_w=jnp.zeros((M,), dtype),
         obs_gen=jnp.zeros((M,), jnp.int32),
+        obs_kfgen=jnp.zeros((M,), jnp.int32),
         obs_valid=jnp.zeros((M,), bool),
         n_obs=jnp.int32(0),
+        obs_info=jnp.zeros((M, 3, 3), dtype),
         pp_i=jnp.zeros((E,), jnp.int32),
         pp_j=jnp.zeros((E,), jnp.int32),
         pp_rel=jnp.zeros((E, 7), dtype).at[:, 3].set(1.0),
         pp_w=jnp.zeros((E,), dtype),
+        pp_gen_i=jnp.zeros((E,), jnp.int32),
+        pp_gen_j=jnp.zeros((E,), jnp.int32),
         pp_valid=jnp.zeros((E,), bool),
         n_pp=jnp.int32(0),
     )
 
 
 def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
-                     gen=None) -> GraphState:
+                     gen=None, kf_gen=None, info=None) -> GraphState:
     """Append up to len(mask) observations (masked). Slots are assigned at
     the write cursor modulo capacity (ring; old entries overwritten only
     after capacity wraps — mirrors the bounded optimization window of
-    marginalizeMeasurements, featuresMap.cpp:1056-1104)."""
+    marginalizeMeasurements, featuresMap.cpp:1056-1104).
+
+    ``gen`` / ``kf_gen``: slot generations of the referenced landmark /
+    keyframe at insert time — BA masks out any edge whose referenced slot has
+    since been recycled. ``info``: optional (N, 3, 3) full information
+    matrices (useUncertainty mode, depthSensorModel.cpp:48-59)."""
     M = g.obs_capacity
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     slot = jnp.mod(g.n_obs + rank, M)
     safe_slot = jnp.where(mask, slot, M)  # M = out-of-range drop via clip
     safe_slot = jnp.clip(safe_slot, 0, M - 1)
+    if info is None:
+        info = jnp.zeros(xyz.shape[:-1] + (3, 3), g.obs_info.dtype)
     return g._replace(
         obs_kf=g.obs_kf.at[safe_slot].set(
             jnp.where(mask, kf_idx, g.obs_kf[safe_slot])),
@@ -89,14 +106,21 @@ def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
             jnp.where(mask, weight, g.obs_w[safe_slot])),
         obs_gen=g.obs_gen.at[safe_slot].set(
             jnp.where(mask, gen if gen is not None else 0, g.obs_gen[safe_slot])),
+        obs_kfgen=g.obs_kfgen.at[safe_slot].set(
+            jnp.where(mask, kf_gen if kf_gen is not None else 0,
+                      g.obs_kfgen[safe_slot])),
+        obs_info=g.obs_info.at[safe_slot].set(
+            jnp.where(mask[:, None, None], info, g.obs_info[safe_slot])),
         obs_valid=g.obs_valid.at[safe_slot].set(
             jnp.where(mask, True, g.obs_valid[safe_slot])),
         n_obs=g.n_obs + jnp.sum(mask.astype(jnp.int32)),
     )
 
 
-def add_pose_pose(g: GraphState, i, j, rel, weight, valid=True) -> GraphState:
-    """Append one pose-pose edge (VO increment; PUTSLAM.cpp:814-821)."""
+def add_pose_pose(g: GraphState, i, j, rel, weight, valid=True,
+                  gen_i=None, gen_j=None) -> GraphState:
+    """Append one pose-pose edge (VO increment; PUTSLAM.cpp:814-821).
+    ``gen_i``/``gen_j``: keyframe-slot generations at insert time."""
     E = g.pp_capacity
     slot = jnp.mod(g.n_pp, E)
     v = jnp.asarray(valid)
@@ -105,6 +129,10 @@ def add_pose_pose(g: GraphState, i, j, rel, weight, valid=True) -> GraphState:
         pp_j=g.pp_j.at[slot].set(jnp.where(v, j, g.pp_j[slot])),
         pp_rel=g.pp_rel.at[slot].set(jnp.where(v, rel, g.pp_rel[slot])),
         pp_w=g.pp_w.at[slot].set(jnp.where(v, weight, g.pp_w[slot])),
+        pp_gen_i=g.pp_gen_i.at[slot].set(
+            jnp.where(v, gen_i if gen_i is not None else 0, g.pp_gen_i[slot])),
+        pp_gen_j=g.pp_gen_j.at[slot].set(
+            jnp.where(v, gen_j if gen_j is not None else 0, g.pp_gen_j[slot])),
         pp_valid=g.pp_valid.at[slot].set(jnp.where(v, True, g.pp_valid[slot])),
         n_pp=g.n_pp + v.astype(jnp.int32),
     )

@@ -31,11 +31,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from putslam_tpu.config import BackendConfig
+from putslam_tpu.config import BackendConfig, CameraConfig
 from putslam_tpu.backend import factors
 from putslam_tpu.backend.graph import GraphState
 from putslam_tpu.geometry import se3
-from putslam_tpu.geometry.uncertainty import inv3x3
+from putslam_tpu.geometry.uncertainty import chol3x3, inv3x3
 
 
 class BAResult(NamedTuple):
@@ -46,17 +46,36 @@ class BAResult(NamedTuple):
 
 
 def _assemble_obs(bcfg: BackendConfig, kf_pose, lm_pos, lm_valid, g: GraphState,
-                  lm_gen=None):
+                  lm_gen=None, kf_gen=None, cam: CameraConfig = None):
     """Residuals/Jacobians/weights for all pose-landmark observations.
-    ``lm_gen``: slot generations — observations whose stored generation does
-    not match are stale (recycled slot) and get zero weight."""
+
+    ``lm_gen`` / ``kf_gen``: slot generations — observations whose stored
+    generation does not match the referenced landmark/keyframe slot's current
+    generation are stale (slot recycled since insertion) and get zero weight.
+
+    Factor type dispatches on ``bcfg.error_type`` (0 → 3D Euclidean Edge3D,
+    1 → 2D reprojection, the custom PUT g2o edge). With
+    ``bcfg.use_obs_info`` the stored full 3×3 information matrices whiten
+    the 3D residual/Jacobians (r' = Lᵀr with Info = L·Lᵀ), so anisotropic
+    sensor noise (depthSensorModel.cpp:28-95) shapes the normal equations."""
     kf_p = kf_pose[g.obs_kf]
     lm_p = lm_pos[g.obs_lm]
-    r = factors.obs_residual(kf_p, lm_p, g.obs_xyz)            # (M, 3)
-    Jp, Jl = factors.obs_jacobians(kf_p, lm_p)                  # (M,3,6) (M,3,3)
-    w_info = g.obs_w * g.obs_valid * lm_valid[g.obs_lm]
+    fu, fv = (cam.fu, cam.fv) if cam is not None else (525.0, 525.0)
+    r, Jp, Jl = factors.assemble_obs_terms(kf_p, lm_p, g.obs_xyz,
+                                           bcfg.error_type, fu, fv)
+    gate = g.obs_valid & lm_valid[g.obs_lm]
     if lm_gen is not None:
-        w_info = w_info * (g.obs_gen == lm_gen[g.obs_lm])
+        gate = gate & (g.obs_gen == lm_gen[g.obs_lm])
+    if kf_gen is not None:
+        gate = gate & (g.obs_kfgen == kf_gen[g.obs_kf])
+    if bcfg.use_obs_info and bcfg.error_type == 0:
+        Lw = chol3x3(g.obs_info)                                # (M,3,3)
+        r = jnp.einsum("msr,ms->mr", Lw, r)
+        Jp = jnp.einsum("msr,msj->mrj", Lw, Jp)
+        Jl = jnp.einsum("msr,msj->mrj", Lw, Jl)
+        w_info = gate.astype(kf_pose.dtype)   # info folded into the whitening
+    else:
+        w_info = g.obs_w * gate
     sq = w_info * jnp.sum(r * r, axis=-1)
     w_rob = factors.robust_weight(sq, bcfg.robust_kernel,
                                   bcfg.robust_delta)
@@ -64,13 +83,29 @@ def _assemble_obs(bcfg: BackendConfig, kf_pose, lm_pos, lm_valid, g: GraphState,
     return r, Jp, Jl, w, sq
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+def _pp_weights(bcfg: BackendConfig, g: GraphState, r6, kf_gen=None):
+    """Per pose-pose edge (info weight, robust weight product, chi²-term) with
+    stale-generation masking."""
+    gate = g.pp_valid
+    if kf_gen is not None:
+        gate = gate & (g.pp_gen_i == kf_gen[g.pp_i]) \
+            & (g.pp_gen_j == kf_gen[g.pp_j])
+    wpp_info = g.pp_w * gate
+    sq_pp = wpp_info * jnp.sum(r6 * r6, axis=-1)
+    wpp = wpp_info * factors.robust_weight(sq_pp, bcfg.robust_kernel,
+                                           bcfg.robust_delta)
+    return wpp, sq_pp
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cam",))
 def gauss_newton_pcg(bcfg: BackendConfig,
                      kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
                      lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
                      g: GraphState,
                      fixed_kf: jnp.ndarray,
-                     lm_gen: jnp.ndarray = None) -> BAResult:
+                     lm_gen: jnp.ndarray = None,
+                     kf_gen: jnp.ndarray = None,
+                     cam: CameraConfig = None) -> BAResult:
     """Matrix-free variant: the reduced camera system S·x = b is solved by
     block-Jacobi-preconditioned conjugate gradients, applying
     S v = H_cc v − H_cl (H_ll⁻¹ (H_lc v)) through per-observation 6×3
@@ -85,7 +120,7 @@ def gauss_newton_pcg(bcfg: BackendConfig,
     def iteration(carry, _):
         kf_pose, lm_pos = carry
         r, Jp, Jl, w, sq = _assemble_obs(bcfg, kf_pose, lm_pos, lm_valid, g,
-                                         lm_gen)
+                                         lm_gen, kf_gen, cam)
         chi2 = jnp.sum(sq)
 
         B = jnp.einsum("m,mri,mrj->mij", w, Jp, Jl)             # (M,6,3)
@@ -104,10 +139,7 @@ def gauss_newton_pcg(bcfg: BackendConfig,
         pj = kf_pose[g.pp_j]
         r6 = factors.pp_residual(pi, pj, g.pp_rel)
         Ji, Jj = factors.pp_jacobians(pi, pj, g.pp_rel)
-        wpp_info = g.pp_w * g.pp_valid
-        sq_pp = wpp_info * jnp.sum(r6 * r6, axis=-1)
-        wpp = wpp_info * factors.robust_weight(sq_pp, bcfg.robust_kernel,
-                                               bcfg.robust_delta)
+        wpp, sq_pp = _pp_weights(bcfg, g, r6, kf_gen)
         chi2 = chi2 + jnp.sum(sq_pp)
         Hii = jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji)
         Hjj = jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj)
@@ -188,20 +220,23 @@ def gauss_newton_pcg(bcfg: BackendConfig,
     (kf_out, lm_out), chi2s = jax.lax.scan(
         iteration, (kf_pose, lm_pos), None, length=bcfg.gn_iterations)
     _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
-                                         lm_gen)
+                                         lm_gen, kf_gen, cam)
     return BAResult(kf_out, lm_out, chi2s, sq_final)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cam",))
 def gauss_newton(bcfg: BackendConfig,
                  kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
                  lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
                  g: GraphState,
                  fixed_kf: jnp.ndarray,
-                 lm_gen: jnp.ndarray = None) -> BAResult:
+                 lm_gen: jnp.ndarray = None,
+                 kf_gen: jnp.ndarray = None,
+                 cam: CameraConfig = None) -> BAResult:
     """Run ``bcfg.gn_iterations`` Gauss-Newton steps. ``fixed_kf``: (K,) bool
-    gauge/window fixing (first pose always fixed by the caller); ``lm_gen``:
-    optional landmark slot generations for stale-observation masking."""
+    gauge/window fixing (first pose always fixed by the caller); ``lm_gen`` /
+    ``kf_gen``: optional slot generations for stale-edge masking; ``cam``:
+    intrinsics for the reprojection factor (error_type=1)."""
     K = kf_pose.shape[0]
     L = lm_pos.shape[0]
     lam = bcfg.damping
@@ -209,7 +244,7 @@ def gauss_newton(bcfg: BackendConfig,
     def iteration(carry, _):
         kf_pose, lm_pos = carry
         r, Jp, Jl, w, sq = _assemble_obs(bcfg, kf_pose, lm_pos, lm_valid, g,
-                                         lm_gen)
+                                         lm_gen, kf_gen, cam)
         chi2 = jnp.sum(sq)
 
         # --- per-keyframe and per-landmark blocks (segment sums) ----------
@@ -232,10 +267,7 @@ def gauss_newton(bcfg: BackendConfig,
         pj = kf_pose[g.pp_j]
         r6 = factors.pp_residual(pi, pj, g.pp_rel)              # (E,6)
         Ji, Jj = factors.pp_jacobians(pi, pj, g.pp_rel)         # (E,6,6)
-        wpp_info = g.pp_w * g.pp_valid
-        sq_pp = wpp_info * jnp.sum(r6 * r6, axis=-1)
-        wpp = wpp_info * factors.robust_weight(sq_pp, bcfg.robust_kernel,
-                                               bcfg.robust_delta)
+        wpp, sq_pp = _pp_weights(bcfg, g, r6, kf_gen)
         chi2 = chi2 + jnp.sum(sq_pp)
         H_cc = H_cc.at[g.pp_i, g.pp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji))
         H_cc = H_cc.at[g.pp_j, g.pp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj))
@@ -295,15 +327,17 @@ def gauss_newton(bcfg: BackendConfig,
     (kf_out, lm_out), chi2s = jax.lax.scan(
         iteration, (kf_pose, lm_pos), None, length=bcfg.gn_iterations)
     _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
-                                         lm_gen)
+                                         lm_gen, kf_gen, cam)
     return BAResult(kf_out, lm_out, chi2s, sq_final)
 
 
 def optimize_graph(bcfg: BackendConfig, kf_pose, kf_valid, lm_pos, lm_valid,
-                   g: GraphState, fixed_kf, lm_gen=None) -> BAResult:
+                   g: GraphState, fixed_kf, lm_gen=None, kf_gen=None,
+                   cam: CameraConfig = None) -> BAResult:
     """Solver front door: dispatches on bcfg.solver ("dense_schur" | "pcg")."""
     fn = gauss_newton if bcfg.solver == "dense_schur" else gauss_newton_pcg
-    return fn(bcfg, kf_pose, kf_valid, lm_pos, lm_valid, g, fixed_kf, lm_gen)
+    return fn(bcfg, kf_pose, kf_valid, lm_pos, lm_valid, g, fixed_kf, lm_gen,
+              kf_gen, cam=cam)
 
 
 def prune_mask_from_errors(bcfg: BackendConfig, sq_err: jnp.ndarray,
@@ -313,12 +347,14 @@ def prune_mask_from_errors(bcfg: BackendConfig, sq_err: jnp.ndarray,
     return sq_err > threshold
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cam",))
 def pose_covariances(bcfg: BackendConfig,
                      kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
                      lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
                      g: GraphState, fixed_kf: jnp.ndarray,
-                     lm_gen: jnp.ndarray = None) -> jnp.ndarray:
+                     lm_gen: jnp.ndarray = None,
+                     kf_gen: jnp.ndarray = None,
+                     cam: CameraConfig = None) -> jnp.ndarray:
     """Marginal 6×6 pose covariances from the reduced camera system:
     diag blocks of S⁻¹ at the current estimate (the reference extracts the
     same from g2o's Hessian, graph_g2o.cpp:1324-1390 ``getPoseCovariance``).
@@ -327,7 +363,8 @@ def pose_covariances(bcfg: BackendConfig,
     K = kf_pose.shape[0]
     L = lm_pos.shape[0]
     lam = bcfg.damping
-    r, Jp, Jl, w, _ = _assemble_obs(bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen)
+    r, Jp, Jl, w, _ = _assemble_obs(bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen,
+                                    kf_gen, cam)
     JpT_Jp = jnp.einsum("m,mri,mrj->mij", w, Jp, Jp)
     JlT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jl, Jl)
     JpT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jp, Jl)

@@ -99,9 +99,16 @@ class MatcherConfig:
     max_hamming: int = 64                  # descriptor distance acceptance gate
     matching_xyz_sphere_radius: float = 0.12   # matchingXYZSphereRadius
     matching_xyz_acceptance_ratio: float = 0.55  # matchingXYZacceptRatio
+    # guided-match acceptance: "hamming" = absolute distance gate;
+    # "ratio" = ratio-of-best test (best < ratio·second-best, the
+    # discriminativeness analog of matcher.cpp:734-747's band acceptance)
+    acceptance: str = "hamming"
     octave_window: int = 1                 # octave +-1 gate, matcher.cpp:699-711
     retries: int = 2                       # map-matching retry with widened radius
-    retry_radius_growth: float = 1.5       # PUTSLAM.cpp:791-798 widening
+    retry_radius_growth: float = 2.0       # PUTSLAM.cpp:791-798 widening
+    # retry trigger: widen the sphere when the map-RANSAC inlier ratio is
+    # below this (the reference retries while matchingRatio < 0.1)
+    retry_inlier_ratio: float = 0.1
 
 
 @dataclass(frozen=True)
@@ -173,6 +180,17 @@ class BackendConfig:
     chi2_prune_threshold: float = 25.0
     optimize_every_n_frames: int = 5
     error_type: int = 0                   # 0 euclidean Edge3D, 1 reprojection
+    # Reprojection-factor pixel noise: information weight = 1/σ_px²
+    # (edge_se3_pointxyz_reprojectionError.h information default)
+    obs_pixel_sigma: float = 1.0
+    # Use the stored full 3×3 per-observation information matrices (whitened
+    # normal equations) instead of the scalar obs_w — the useUncertainty mode
+    # of putslammapConfig.xml (sensor model depthSensorModel.cpp:28-95).
+    # Pair with MapConfig.use_uncertainty so the engine stores the matrices.
+    use_obs_info: bool = False
+    # --- end-of-run final optimization (featuresMap.cpp:980-1025) ---------
+    final_gn_iterations: int = 12         # full-graph polish pass length
+    final_min_obs: int = 2                # removeWeakFeatures threshold analog
 
 
 @dataclass(frozen=True)

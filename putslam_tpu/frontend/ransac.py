@@ -44,7 +44,11 @@ def _pair_errors(cfg: RansacConfig, cam: Optional[CameraConfig],
     """Per-pair error and threshold according to the configured model.
 
     T: (..., 7); p, q: (N, 3); info: optional (N, 3, 3) per-pair information
-    matrices (Mahalanobis model). Returns (err (..., N), thr (..., N)).
+    matrices (Mahalanobis model). ``info`` MUST be symmetric: the quadratic
+    form below reads only the upper triangle and doubles the off-diagonal
+    terms (valid for any information matrix; an asymmetric input would be
+    silently symmetrized as 0.5*(info+infoᵀ)).
+    Returns (err (..., N), thr (..., N)).
 
     Structure-of-arrays throughout: the predicted points are computed as
     (..., N) component arrays (se3.apply_soa) — never as an (..., N, 3)

@@ -76,6 +76,26 @@ def information_matrix(cam: CameraConfig, uv, depth):
     return inv3x3(point_covariance(cam, uv, depth))
 
 
+def chol3x3(M, eps: float = 1e-12):
+    """Batched closed-form lower Cholesky factor L with M = L·Lᵀ for
+    symmetric PSD 3×3 matrices (TPU-friendly, no LAPACK). Used to *whiten*
+    residuals/Jacobians against a full information matrix: with
+    Info = L·Lᵀ, the whitened r' = Lᵀr, J' = LᵀJ reduce the generalized
+    least squares problem to the scalar-weighted machinery."""
+    a = jnp.sqrt(jnp.maximum(M[..., 0, 0], eps))
+    b = M[..., 1, 0] / a
+    c = M[..., 2, 0] / a
+    d = jnp.sqrt(jnp.maximum(M[..., 1, 1] - b * b, eps))
+    e = (M[..., 2, 1] - c * b) / d
+    f = jnp.sqrt(jnp.maximum(M[..., 2, 2] - c * c - e * e, eps))
+    zero = jnp.zeros_like(a)
+    return jnp.stack([
+        jnp.stack([a, zero, zero], axis=-1),
+        jnp.stack([b, d, zero], axis=-1),
+        jnp.stack([c, e, f], axis=-1),
+    ], axis=-2)
+
+
 def normal_scaled_covariance(cov, normals, scale: float):
     """Anisotropic rescale along the surface normal (depthSensorModel.cpp:62-76):
     shrink uncertainty in the normal direction by ``scale``.

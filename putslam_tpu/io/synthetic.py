@@ -149,6 +149,67 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8, height_amp: float = 0.1
     return se3.make_pose(t, q)
 
 
+def revisit_trajectory(n_frames: int, sweep: float = 1.2,
+                       height_amp: float = 0.08, yaw_amp: float = 0.12,
+                       dtype=jnp.float32):
+    """Leave-and-return trajectory for loop-closure testing: the camera
+    strafes out to ``sweep`` metres and comes back, ending where it started
+    while always facing the same wall — the final frames re-observe the
+    first frames' scene after a long excursion (no continuous covisibility
+    bridge, unlike the orbit). The reference's loop-closure datasets have
+    exactly this structure (fr1_room, PUT Kin sequences).
+
+    Returns (n_frames, 7) camera→world poses."""
+    s = jnp.linspace(0.0, 1.0, n_frames, dtype=dtype)
+    # single out-and-back lobe; every component is symmetric in s ↔ 1−s so
+    # the return leg retraces the outbound viewpoints exactly (a corridor
+    # walked out and back) — the revisit is real, the drift is what differs
+    lobe = jnp.sin(jnp.pi * s)
+    t = jnp.stack(
+        [sweep * lobe, height_amp * lobe, 0.15 * lobe - 0.5], axis=-1)
+    yaw = yaw_amp * lobe
+    qz = jnp.stack([jnp.cos(yaw / 2), jnp.zeros_like(yaw), jnp.sin(yaw / 2),
+                    jnp.zeros_like(yaw)], axis=-1)
+    return se3.make_pose(t, qz)
+
+
+def degrade_sequence(grays, depths, seed: int = 0,
+                     intensity_sigma: float = 0.0,
+                     depth_dropout: float = 0.0,
+                     depth_sigma: float = 0.0,
+                     blur: int = 0):
+    """Sensor-noise injection (the robustness fixtures the reference only
+    has as demoKabsch's Gaussian perturbations, demos/demoKabsch.cpp:19-26):
+
+    * ``intensity_sigma`` — additive Gaussian image noise (shot noise),
+    * ``depth_dropout`` — fraction of pixels with missing depth (holes → 0,
+      which the lifting path treats as invalid, like a real RGB-D sensor),
+    * ``depth_sigma`` — additive Gaussian depth noise in metres,
+    * ``blur`` — horizontal box blur of width 2·blur+1 px (motion blur).
+
+    Returns (grays', depths') as jnp arrays."""
+    key = jax.random.PRNGKey(seed)
+    g = jnp.asarray(grays)
+    d = jnp.asarray(depths)
+    if intensity_sigma > 0:
+        key, k = jax.random.split(key)
+        g = jnp.clip(g + intensity_sigma * jax.random.normal(k, g.shape),
+                     0.0, 1.0)
+    if blur > 0:
+        w = 2 * blur + 1
+        kernel = jnp.ones((w,), g.dtype) / w
+        g = jax.vmap(lambda img: jax.vmap(
+            lambda row: jnp.convolve(row, kernel, mode="same"))(img))(g)
+    if depth_sigma > 0:
+        key, k = jax.random.split(key)
+        d = jnp.maximum(d + depth_sigma * jax.random.normal(k, d.shape), 0.0)
+    if depth_dropout > 0:
+        key, k = jax.random.split(key)
+        holes = jax.random.uniform(k, d.shape) < depth_dropout
+        d = jnp.where(holes, 0.0, d)
+    return g, d
+
+
 def render_sequence(cam: CameraConfig, poses, seed: int = 7):
     """Render a whole trajectory with lax.map (memory-bounded): returns
     (grays (N,H,W), depths (N,H,W))."""

@@ -50,10 +50,28 @@ def signature(vocab: jnp.ndarray, desc: jnp.ndarray, valid: jnp.ndarray
 
 
 def score_against(signatures: jnp.ndarray, sig: jnp.ndarray,
-                  sig_valid: jnp.ndarray) -> jnp.ndarray:
-    """Cosine similarity of ``sig`` (V,) against all stored keyframe
-    signatures (K, V) → (K,); invalid rows get -inf."""
-    s = signatures @ sig
+                  sig_valid: jnp.ndarray, use_idf: bool = True
+                  ) -> jnp.ndarray:
+    """tf-idf cosine similarity of ``sig`` (V,) against all stored keyframe
+    signatures (K, V) → (K,); invalid rows get -inf.
+
+    idf is computed on the fly from the stored corpus (the valid keyframe
+    signatures): ``idf_v = log((1+K)/(1+df_v))`` with df the number of
+    keyframes whose tf for word v is nonzero — words seen in every keyframe
+    (repetitive texture) contribute ~nothing, discriminative words dominate.
+    ``use_idf=False`` gives the plain tf cosine (round-2 behavior)."""
+    if use_idf:
+        n_docs = jnp.sum(sig_valid.astype(jnp.float32))
+        df = jnp.sum(((signatures > 0.0) & sig_valid[:, None]).astype(jnp.float32),
+                     axis=0)                                   # (V,)
+        idf = jnp.log((1.0 + n_docs) / (1.0 + df))
+        ws = signatures * idf[None, :]                         # (K, V)
+        wq = sig * idf
+        ws = ws / jnp.maximum(jnp.linalg.norm(ws, axis=1, keepdims=True), 1e-9)
+        wq = wq / jnp.maximum(jnp.linalg.norm(wq), 1e-9)
+        s = ws @ wq
+    else:
+        s = signatures @ sig
     return jnp.where(sig_valid, s, -jnp.inf)
 
 
@@ -75,20 +93,24 @@ def init_queue(capacity: int) -> LCQueue:
     )
 
 
-def push_candidates(q: LCQueue, kf_a, scores: jnp.ndarray, n_kf,
-                    tail_skip: int, min_probability: float,
+def push_candidates(q: LCQueue, kf_a, scores: jnp.ndarray, kf_seq, n_kf,
+                    tail_skip: int, min_score: float,
                     top_k: int = 4) -> LCQueue:
-    """Score-normalize, gate, and merge the best new candidates into the
-    queue, keeping the overall top-capacity by probability."""
-    K = scores.shape[0]
-    idx = jnp.arange(K)
-    # skip the tail_skip most recent keyframes (visualplacerecognition :99-118)
-    recent = (idx > n_kf - 1 - tail_skip) | (idx >= n_kf)
+    """Gate, rank, and merge the best new candidates into the queue, keeping
+    the overall top-capacity by score.
+
+    ``kf_seq``: (K,) sequential keyframe number per ring slot (wrap-safe
+    recency: the reference skips the ``tail_skip`` most recent *frames*,
+    visualplacerecognition.cpp:99-118 — slot indices alone are wrong once
+    the ring wraps). ``min_score`` gates on the raw tf-idf cosine (0..1):
+    FAB-MAP emits true normalized posteriors, our cosine corpus scores are
+    flat across many keyframes, so sum-normalizing (round-2 behavior) made
+    any threshold unreachable — the absolute cosine is the DBoW-class
+    acceptance this scoring actually supports."""
+    recent = (kf_seq > n_kf - 1 - tail_skip) | (kf_seq < 0)
     s = jnp.where(recent, -jnp.inf, scores)
-    total = jnp.sum(jnp.where(jnp.isfinite(s), jnp.maximum(s, 0.0), 0.0))
-    prob = jnp.where(jnp.isfinite(s), jnp.maximum(s, 0.0) / jnp.maximum(total, 1e-9), -jnp.inf)
-    prob = jnp.where(prob >= min_probability, prob, -jnp.inf)
-    top_p, top_i = jax.lax.top_k(prob, top_k)
+    s = jnp.where(s >= min_score, s, -jnp.inf)
+    top_p, top_i = jax.lax.top_k(s, top_k)
 
     cand_a = jnp.full((top_k,), kf_a, jnp.int32)
     all_a = jnp.concatenate([q.kf_a, cand_a])

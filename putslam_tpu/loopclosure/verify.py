@@ -41,15 +41,31 @@ class LCVerifyResult(NamedTuple):
 
 def _gather_kf_set(m: MapState, g: GraphState, kf: jnp.ndarray):
     """Landmark observations of one keyframe from the edge store:
-    (lm_idx (P,), z_cam (P,3), desc (P,256), valid (P,))."""
+    (lm_idx (P,), z_cam (P,3), desc (P,256), valid (P,)).
+
+    Descriptor selection is *view-aware* (matchFeatureLoopClosure matches the
+    frame-specific descriptors of the candidate frames, matcher.cpp:802-861;
+    findNearestFrame picks the nearest-view descriptor featuresMap.cpp:528-563):
+    of the landmark's multi-view slots, the one whose stored viewing direction
+    best matches the direction from *this* keyframe's camera to the landmark
+    is used — a revisit from a new viewpoint gets that view's descriptor, not
+    an arbitrary slot."""
     sel = (g.obs_kf == kf) & g.obs_valid & \
-        (g.obs_gen == m.lm_gen[g.obs_lm]) & m.lm_valid[g.obs_lm]
+        (g.obs_gen == m.lm_gen[g.obs_lm]) & m.lm_valid[g.obs_lm] & \
+        (g.obs_kfgen == m.kf_gen[kf])
     idx = jnp.nonzero(sel, size=LC_SET, fill_value=-1)[0]
     ok = idx >= 0
     safe = jnp.maximum(idx, 0)
     lm = g.obs_lm[safe]
     z = g.obs_xyz[safe]
-    desc = m.lm_desc[lm, 0]
+    # viewing direction keyframe→landmark in the world frame
+    cam_t = se3.translation(m.kf_pose[kf])                       # (3,)
+    vd = m.lm_pos[lm] - cam_t[None, :]
+    vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-9)
+    cosang = jnp.einsum("pdk,pk->pd", m.lm_view_dir[lm], vd)     # (P, D)
+    cosang = jnp.where(m.lm_slot_used[lm], cosang, -jnp.inf)
+    slot = jnp.argmax(cosang, axis=-1)                           # (P,)
+    desc = m.lm_desc[lm, slot]
     return lm, z, jnp.where(ok[:, None], desc, jnp.int8(0)), ok
 
 

@@ -29,6 +29,7 @@ from putslam_tpu.config import SlamConfig
 from putslam_tpu.frontend import ransac as ransac_mod
 from putslam_tpu.frontend.detector import Features, detect_and_describe
 from putslam_tpu.geometry import se3
+from putslam_tpu.geometry import uncertainty as uncertainty_mod
 from putslam_tpu.loopclosure import bow
 from putslam_tpu.loopclosure import verify as lc_verify
 from putslam_tpu.models import vo as vo_mod
@@ -62,6 +63,13 @@ class SlamOutputs(NamedTuple):
     ba_ran: jnp.ndarray
     chi2: jnp.ndarray
     n_landmarks: jnp.ndarray
+    # --- anchoring record for end-of-run trajectory repair ----------------
+    # the frame's pose is kf-anchored (pose = kf ∘ suffix); after the final
+    # full-graph BA the exported trajectory is rebuilt from the *optimized*
+    # keyframe poses (updateCamTrajectory, featuresMap.cpp:1273-1295)
+    anchor_ring: jnp.ndarray   # () int32 — keyframe ring slot anchoring this frame
+    anchor_seq: jnp.ndarray    # () int32 — that keyframe's sequential number
+    anchor_pose: jnp.ndarray   # (7,) — the anchor keyframe pose at emit time
 
 
 def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
@@ -87,7 +95,9 @@ def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
         lm_idx,
         feat.xyz, jnp.full((feat.capacity,), _obs_info(cfg)),
         feat.has_depth & (lm_dist < 1e-4),
-        gen=m.lm_gen[lm_idx])
+        gen=m.lm_gen[lm_idx],
+        kf_gen=jnp.full((feat.capacity,), m.kf_gen[kf_idx], jnp.int32),
+        info=_full_obs_info(cfg, feat.uv_undist, feat.xyz))
     K = cfg.map.max_keyframes
     V = cfg.loop_closure.vocab_size
     vocab = bow.make_vocab(V)
@@ -111,6 +121,16 @@ def _obs_info(cfg: SlamConfig) -> float:
     is O(1) and Cauchy δ=1 behaves like g2o's)."""
     sigma = cfg.ransac.inlier_threshold_euclidean / 2.0
     return 1.0 / (sigma * sigma)
+
+
+def _full_obs_info(cfg: SlamConfig, uv, xyz):
+    """Per-observation 3×3 information matrices from the depth-sensor noise
+    model (useUncertainty mode, depthSensorModel.cpp:28-59) — None when the
+    engine runs with scalar weights (add_observations stores zeros)."""
+    if not cfg.map.use_uncertainty:
+        return None
+    return uncertainty_mod.information_matrix(
+        cfg.camera, uv, jnp.maximum(xyz[..., 2], cfg.camera.min_depth))
 
 
 def _landmark_indices_for(m: fm.MapState, pose, feat: Features):
@@ -144,10 +164,31 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         pose_pred = se3.compose(state.pose, vo_res.rel_pose)
 
     # ---- 2. guided map matching (matchXYZ) + absolute pose RANSAC -------
-    gm = fm.guided_match(cfg, state.map, pose_pred, feat)
+    # retry ladder (PUTSLAM.cpp:788-798): when the map RANSAC comes back
+    # with a poor inlier ratio, re-run the guided match with a widened
+    # search sphere (statically unrolled; each widening is lax.cond-gated so
+    # the extra L×N matmul is only paid on the degraded frames)
+    def run_guided(scale, key):
+        gm_s = fm.guided_match(cfg, state.map, pose_pred, feat,
+                               radius_scale=scale)
+        p_s = feat.xyz[jnp.clip(gm_s.feat_idx, 0, feat.capacity - 1)]
+        res_s = ransac_mod.estimate(
+            cfg.ransac, cfg.camera, key, p_s, state.map.lm_pos, gm_s.valid)
+        return gm_s, res_s
+
+    gm, res_map = run_guided(1.0, k_map)
+    scale = 1.0
+    for attempt in range(cfg.matcher.retries):
+        scale *= cfg.matcher.retry_radius_growth
+        key, k_retry = jax.random.split(key)
+        need_retry = (~res_map.ok) | \
+            (res_map.inlier_ratio < cfg.matcher.retry_inlier_ratio)
+        gm, res_map = jax.lax.cond(
+            need_retry,
+            functools.partial(run_guided, scale),
+            lambda _k, _gm=gm, _res=res_map: (_gm, _res),
+            k_retry)
     p_cam = feat.xyz[jnp.clip(gm.feat_idx, 0, feat.capacity - 1)]
-    res_map = ransac_mod.estimate(
-        cfg.ransac, cfg.camera, k_map, p_cam, state.map.lm_pos, gm.valid)
     # res_map.pose maps camera points to world = absolute pose of the frame.
     # Sanity gate: a confident-but-wrong pose from junk guided matches must
     # not displace the VO prediction (analog of the VO gate PUTSLAM.cpp:735).
@@ -192,20 +233,26 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     g = state.graph
     # pose-feature measurements (featuresMap addMeasurements analog): the
     # measurement is the *observed* 3D point in the camera frame (p_cam)
+    fidx_safe = jnp.clip(gm.feat_idx, 0, feat.capacity - 1)
     g = graph_mod.add_observations(
         g, jnp.full((state.map.capacity,), kf_idx_new, jnp.int32),
         jnp.arange(state.map.capacity, dtype=jnp.int32),
         p_cam,
         jnp.full((state.map.capacity,), _obs_info(cfg)),
         matched_lm & is_kf,
-        gen=m.lm_gen)
+        gen=m.lm_gen,
+        kf_gen=jnp.full((state.map.capacity,), m.kf_gen[kf_idx_new],
+                        jnp.int32),
+        info=_full_obs_info(cfg, feat.uv_undist[fidx_safe], p_cam))
     # pose-pose odometry edge between consecutive keyframes
     rel_kf = se3.relative(state.last_kf_pose, pose_new)
     add_pp = is_kf & (n_matched < cfg.map.max_measurements_pose_to_pose) \
         if cfg.map.add_pose_to_pose_edges else jnp.asarray(False)
+    prev_ring = jnp.mod(state.last_kf_idx, m.kf_pose.shape[0])
     g = graph_mod.add_pose_pose(
-        g, jnp.mod(state.last_kf_idx, m.kf_pose.shape[0]), kf_idx_new,
-        rel_kf, jnp.float32(100.0), add_pp)
+        g, prev_ring, kf_idx_new,
+        rel_kf, jnp.float32(100.0), add_pp,
+        gen_i=m.kf_gen[prev_ring], gen_j=m.kf_gen[kf_idx_new])
 
     # ---- 5. periodic bundle adjustment ----------------------------------
     n_kf = m.n_kf
@@ -221,7 +268,7 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         res = opt_mod.optimize_graph(
             cfg.backend, m_in.kf_pose, m_in.kf_valid,
             m_in.lm_pos, m_in.lm_valid, g_in, fixed,
-            lm_gen=m_in.lm_gen)
+            lm_gen=m_in.lm_gen, kf_gen=m_in.kf_gen, cam=cfg.camera)
         # chi²-outlier edge pruning (optimizeAndPrune, graph_g2o.cpp:1394)
         drop = res.obs_sq_err > cfg.backend.chi2_prune_threshold
         return res.kf_pose, res.lm_pos, res.chi2, drop
@@ -243,7 +290,7 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         sig = bow.signature(vocab, feat.desc, feat.valid)
         scores = bow.score_against(kf_sig, sig, sig_valid)
         lc_queue2 = bow.push_candidates(
-            lc_queue, kf_idx_new, scores, m.n_kf,
+            lc_queue, kf_idx_new, scores, m.kf_seq, m.n_kf,
             cfg.loop_closure.tail_skip, cfg.loop_closure.min_probability)
         lc_queue = jax.tree.map(
             lambda a, b: jnp.where(is_kf, b, a), lc_queue, lc_queue2)
@@ -270,9 +317,10 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
                             (m, g, jnp.maximum(cand_a, 0),
                              jnp.maximum(cand_b, 0), k_lc))
         # accepted: pose-pose correction edge A→B with measured rel pose
+        ca, cb = jnp.maximum(cand_a, 0), jnp.maximum(cand_b, 0)
         g = graph_mod.add_pose_pose(
-            g, jnp.maximum(cand_a, 0), jnp.maximum(cand_b, 0), vres.rel_pose,
-            jnp.float32(200.0), vres.ok)
+            g, ca, cb, vres.rel_pose, jnp.float32(200.0), vres.ok,
+            gen_i=m.kf_gen[ca], gen_j=m.kf_gen[cb])
         n_lc = n_lc + vres.ok.astype(jnp.int32)
 
     kf_pose_opt, lm_pos_opt, chi2, drop_obs = jax.lax.cond(
@@ -308,6 +356,9 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         n_map_matches=gm.n_candidates, n_map_inliers=n_matched.astype(jnp.int32),
         is_keyframe=is_kf, ba_ran=do_ba, chi2=chi2,
         n_landmarks=jnp.sum(m.lm_valid).astype(jnp.int32),
+        anchor_ring=kf_ring.astype(jnp.int32),
+        anchor_seq=m.kf_seq[kf_ring],
+        anchor_pose=kf_pose_after,
     )
     return state_new, outs
 
@@ -359,3 +410,80 @@ def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0):
         np.asarray(init_pose if init_pose is not None else se3.identity())[None],
         np.asarray(outs.pose)], axis=0)
     return poses, jax.tree.map(np.asarray, outs), state
+
+
+# ---------------------------------------------------------------------------
+# End-of-run final optimization (featuresMap.cpp:980-1025: on finish the
+# reference releases the fixed vertices, removes weak features, prunes
+# outlier edges, and runs one full-graph optimization before exporting).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def finalize(cfg: SlamConfig, state: SlamState) -> SlamState:
+    """Full-graph polish: release the window-fixed keyframes (only the oldest
+    surviving keyframe stays fixed for gauge), drop weak landmarks
+    (``removeWeakFeatures`` analog: observation count below
+    ``final_min_obs``), run a long robust BA, chi²-prune outlier edges, and
+    run a second BA on the cleaned graph."""
+    import dataclasses
+
+    m, g = state.map, state.graph
+    bcfg = dataclasses.replace(cfg.backend,
+                               gn_iterations=cfg.backend.final_gn_iterations)
+
+    # removeWeakFeatures (graph_g2o.cpp:1440): landmarks observed fewer than
+    # final_min_obs times carry no triangulation redundancy — drop them
+    lm_valid = m.lm_valid & (m.lm_n_obs >= cfg.backend.final_min_obs)
+
+    # release fixed vertices (restoreFrames, featuresMap.cpp:1624-1643):
+    # gauge = the oldest valid keyframe only
+    seqs = jnp.where(m.kf_valid, m.kf_seq, jnp.iinfo(jnp.int32).max)
+    gauge = jnp.argmin(seqs)
+    fixed = jnp.zeros_like(m.kf_valid).at[gauge].set(True)
+
+    res1 = opt_mod.optimize_graph(
+        bcfg, m.kf_pose, m.kf_valid, m.lm_pos, lm_valid, g, fixed,
+        lm_gen=m.lm_gen, kf_gen=m.kf_gen, cam=cfg.camera)
+    # chi²-outlier pruning on the polished estimate (optimizeAndPrune)
+    drop = res1.obs_sq_err > cfg.backend.chi2_prune_threshold
+    g = graph_mod.prune_observations(g, drop)
+    res2 = opt_mod.optimize_graph(
+        bcfg, res1.kf_pose, m.kf_valid, res1.lm_pos, lm_valid, g, fixed,
+        lm_gen=m.lm_gen, kf_gen=m.kf_gen, cam=cfg.camera)
+
+    m = m._replace(kf_pose=res2.kf_pose, lm_pos=res2.lm_pos,
+                   lm_valid=lm_valid)
+    return state._replace(map=m, graph=g)
+
+
+def reanchor_trajectory(state: SlamState, outs: SlamOutputs):
+    """Rebuild the per-frame trajectory from the final optimized keyframes
+    (updateCamTrajectory, featuresMap.cpp:1273-1295): each frame's pose was
+    emitted as anchor_kf ∘ suffix; replay the suffix on the *optimized*
+    anchor pose. Frames whose anchor slot was recycled since (generation
+    mismatch via kf_seq) keep their original pose. Returns (T, 7)."""
+    ring = outs.anchor_ring                                    # (T,)
+    kf_now = state.map.kf_pose[ring]                           # (T, 7)
+    still_same = state.map.kf_seq[ring] == outs.anchor_seq     # (T,)
+    suffix = se3.compose(se3.inverse(outs.anchor_pose), outs.pose)
+    corrected = se3.compose(kf_now, suffix)
+    return jnp.where(still_same[:, None], corrected, outs.pose)
+
+
+def run_slam_final(cfg: SlamConfig, grays, depths, init_pose=None,
+                   seed: int = 0):
+    """run_slam + end-of-run final optimization + trajectory repair.
+
+    Returns (poses_before (T,7), poses_after (T,7), outputs, final_state) —
+    the before/after pair is what the reference's VOAte-vs-g2oAte comparison
+    measures (PUTSLAM.cpp:1222-1233)."""
+    import numpy as np
+
+    poses_before, outs, state = run_slam(cfg, grays, depths, init_pose, seed)
+    state = finalize(cfg, state)
+    first = poses_before[:1]
+    poses_after = np.concatenate(
+        [first, np.asarray(reanchor_trajectory(
+            state, jax.tree.map(jnp.asarray, outs)))], axis=0)
+    return poses_before, poses_after, outs, state

@@ -31,15 +31,16 @@ from jax import shard_map
 
 from putslam_tpu.backend import factors
 from putslam_tpu.backend.graph import GraphState
-from putslam_tpu.config import BackendConfig
+from putslam_tpu.config import BackendConfig, CameraConfig
 from putslam_tpu.geometry import se3
-from putslam_tpu.geometry.uncertainty import inv3x3
+from putslam_tpu.geometry.uncertainty import chol3x3, inv3x3
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1), static_argnames=("cam",))
 def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
                       kf_pose, kf_valid, lm_pos, lm_valid,
-                      g: GraphState, fixed_kf, lm_gen):
+                      g: GraphState, fixed_kf, lm_gen,
+                      kf_gen=None, cam: CameraConfig = None):
     """Sharded Gauss-Newton: same math as backend.optimize.gauss_newton,
     with the landmark axis partitioned over ``mesh``'s first axis.
 
@@ -52,11 +53,15 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
     assert L % ndev == 0, "landmark capacity must divide the mesh size"
     Ls = L // ndev
     lam = bcfg.damping
+    fu, fv = (cam.fu, cam.fv) if cam is not None else (525.0, 525.0)
+    if kf_gen is None:
+        kf_gen = jnp.zeros((K,), jnp.int32)
 
     lm_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def body(kf_pose, lm_pos_l, lm_valid_l, lm_gen_l, g, fixed_kf, kf_valid):
+    def body(kf_pose, lm_pos_l, lm_valid_l, lm_gen_l, g, fixed_kf, kf_valid,
+             kf_gen):
         """shard_map body: lm_* are local (Ls,...) blocks; rest replicated."""
         my = jax.lax.axis_index(axis)
         base = my * Ls
@@ -69,11 +74,19 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
             safe_lm = jnp.clip(local_lm, 0, Ls - 1)
             kf_p = kf_pose[g.obs_kf]
             lm_p = lm_pos_l[safe_lm]
-            r = factors.obs_residual(kf_p, lm_p, g.obs_xyz)
-            Jp, Jl = factors.obs_jacobians(kf_p, lm_p)
-            w_info = (g.obs_w * g.obs_valid * owned
-                      * lm_valid_l[safe_lm]
-                      * (g.obs_gen == lm_gen_l[safe_lm]))
+            r, Jp, Jl = factors.assemble_obs_terms(
+                kf_p, lm_p, g.obs_xyz, bcfg.error_type, fu, fv)
+            gate = (g.obs_valid & owned & lm_valid_l[safe_lm]
+                    & (g.obs_gen == lm_gen_l[safe_lm])
+                    & (g.obs_kfgen == kf_gen[g.obs_kf]))
+            if bcfg.use_obs_info and bcfg.error_type == 0:
+                Lw = chol3x3(g.obs_info)
+                r = jnp.einsum("msr,ms->mr", Lw, r)
+                Jp = jnp.einsum("msr,msj->mrj", Lw, Jp)
+                Jl = jnp.einsum("msr,msj->mrj", Lw, Jl)
+                w_info = gate.astype(kf_pose.dtype)
+            else:
+                w_info = g.obs_w * gate
             sq = w_info * jnp.sum(r * r, axis=-1)
             w = w_info * factors.robust_weight(sq, bcfg.robust_kernel,
                                                bcfg.robust_delta)
@@ -99,7 +112,9 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
             r6 = factors.pp_residual(pi, pj, g.pp_rel)
             Ji, Jj = factors.pp_jacobians(pi, pj, g.pp_rel)
             on0 = (my == 0).astype(kf_pose.dtype)
-            wpp_info = g.pp_w * g.pp_valid * on0
+            pp_gate = (g.pp_valid & (g.pp_gen_i == kf_gen[g.pp_i])
+                       & (g.pp_gen_j == kf_gen[g.pp_j]))
+            wpp_info = g.pp_w * pp_gate * on0
             sq_pp = wpp_info * jnp.sum(r6 * r6, axis=-1)
             wpp = wpp_info * factors.robust_weight(
                 sq_pp, bcfg.robust_kernel, bcfg.robust_delta)
@@ -167,7 +182,7 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
 
     sharded = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P()),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(), P()),
         out_specs=(P(), P(axis), P()),
     )
     kf_out, lm_out, chi2s = sharded(
@@ -178,5 +193,6 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
         jax.device_put(g, repl),
         jax.device_put(fixed_kf, repl),
         jax.device_put(kf_valid, repl),
+        jax.device_put(kf_gen, repl),
     )
     return kf_out, lm_out, chi2s

@@ -38,6 +38,7 @@ from putslam_tpu.slam_map import features_map as fm
 class MergedProblem(NamedTuple):
     kf_pose: jnp.ndarray      # (B*K, 7)
     kf_valid: jnp.ndarray
+    kf_gen: jnp.ndarray       # (B*K,) int32 keyframe slot generations
     lm_pos: jnp.ndarray       # (B*L, 3)
     lm_valid: jnp.ndarray
     lm_gen: jnp.ndarray
@@ -57,6 +58,7 @@ def merge_sessions(cfg: SlamConfig, states) -> MergedProblem:
 
     kf_pose = jnp.concatenate([s.map.kf_pose for s in states])
     kf_valid = jnp.concatenate([s.map.kf_valid for s in states])
+    kf_gen = jnp.concatenate([s.map.kf_gen for s in states])
     lm_pos = jnp.concatenate([s.map.lm_pos for s in states])
     lm_valid = jnp.concatenate([s.map.lm_valid for s in states])
     lm_gen = jnp.concatenate([s.map.lm_gen for s in states])
@@ -72,14 +74,18 @@ def merge_sessions(cfg: SlamConfig, states) -> MergedProblem:
         obs_xyz=jnp.concatenate([s.graph.obs_xyz for s in states]),
         obs_w=jnp.concatenate([s.graph.obs_w for s in states]),
         obs_gen=jnp.concatenate([s.graph.obs_gen for s in states]),
+        obs_kfgen=jnp.concatenate([s.graph.obs_kfgen for s in states]),
         obs_valid=jnp.concatenate([s.graph.obs_valid for s in states]),
         n_obs=sum((s.graph.n_obs for s in states), jnp.int32(0)),
+        obs_info=jnp.concatenate([s.graph.obs_info for s in states]),
         pp_i=jnp.concatenate([s.graph.pp_i + b * K
                               for b, s in enumerate(states)]),
         pp_j=jnp.concatenate([s.graph.pp_j + b * K
                               for b, s in enumerate(states)]),
         pp_rel=jnp.concatenate([s.graph.pp_rel for s in states]),
         pp_w=jnp.concatenate([s.graph.pp_w for s in states]),
+        pp_gen_i=jnp.concatenate([s.graph.pp_gen_i for s in states]),
+        pp_gen_j=jnp.concatenate([s.graph.pp_gen_j for s in states]),
         pp_valid=jnp.concatenate([s.graph.pp_valid for s in states]),
         n_pp=sum((s.graph.n_pp for s in states), jnp.int32(0)),
     )
@@ -89,31 +95,45 @@ def merge_sessions(cfg: SlamConfig, states) -> MergedProblem:
     for b in range(B):
         idx = np.nonzero(kfv[b * K:(b + 1) * K])[0]
         anchors.append(b * K + (int(idx[0]) if len(idx) else 0))
-    return MergedProblem(kf_pose, kf_valid, lm_pos, lm_valid, lm_gen, g,
-                         session_of_kf, jnp.asarray(anchors, jnp.int32),
+    return MergedProblem(kf_pose, kf_valid, kf_gen, lm_pos, lm_valid, lm_gen,
+                         g, session_of_kf, jnp.asarray(anchors, jnp.int32),
                          [s.map for s in states])
+
+
+class _MapView(NamedTuple):
+    """Merged MapState view for the verifier (landmark arrays stacked)."""
+
+    lm_gen: jnp.ndarray
+    lm_valid: jnp.ndarray
+    lm_desc: jnp.ndarray
+    lm_pos: jnp.ndarray
+    lm_view_dir: jnp.ndarray
+    lm_slot_used: jnp.ndarray
+    kf_pose: jnp.ndarray
+    kf_gen: jnp.ndarray
 
 
 def find_cross_session_closures(cfg: SlamConfig, merged: MergedProblem,
                                 states, key, top_per_pair: int = 3,
                                 min_score: float = 0.3):
     """Score + verify inter-session keyframe pairs; returns the merged graph
-    with accepted pose-pose correction edges and the number accepted."""
+    with accepted pose-pose correction edges and the number accepted.
+
+    Fully batched: all B·(B−1)/2 session-pair similarity matrices come from
+    one einsum, the per-pair top-k candidates are verified with a single
+    vmapped ``verify_candidate`` call, and there is exactly one device→host
+    sync for the accept decisions (the round-2 version looped on host with a
+    sync per pair — serial at the 4+-session stretch config)."""
     B = len(states)
     K = states[0].map.kf_pose.shape[0]
     g = merged.graph
-    n_accepted = 0
-
-    # merged MapState view for the verifier (landmark arrays stacked)
-    class _MapView(NamedTuple):
-        lm_gen: jnp.ndarray
-        lm_valid: jnp.ndarray
-        lm_desc: jnp.ndarray
-        lm_pos: jnp.ndarray
 
     map_view = _MapView(
         merged.lm_gen, merged.lm_valid,
-        jnp.concatenate([s.map.lm_desc for s in states]), merged.lm_pos)
+        jnp.concatenate([s.map.lm_desc for s in states]), merged.lm_pos,
+        jnp.concatenate([s.map.lm_view_dir for s in states]),
+        jnp.concatenate([s.map.lm_slot_used for s in states]),
+        merged.kf_pose, merged.kf_gen)
 
     # only keyframes that actually carry observations can be verified
     BK = merged.kf_pose.shape[0]
@@ -121,29 +141,37 @@ def find_cross_session_closures(cfg: SlamConfig, merged: MergedProblem,
         g.obs_valid.astype(jnp.int32))
     has_obs = obs_count >= cfg.loop_closure.min_features_lc
 
-    for a in range(B):
-        for b in range(a + 1, B):
-            sig_a = states[a].kf_sig          # (K, V)
-            sig_b = states[b].kf_sig
-            va = states[a].sig_valid & has_obs[a * K:(a + 1) * K]
-            vb = states[b].sig_valid & has_obs[b * K:(b + 1) * K]
-            S = sig_a @ sig_b.T               # (K, K) similarity
-            S = jnp.where(va[:, None] & vb[None, :], S, -jnp.inf)
-            flat = S.reshape(-1)
-            top_v, top_i = jax.lax.top_k(flat, top_per_pair)
-            for t in range(top_per_pair):
-                if float(top_v[t]) < min_score:
-                    continue
-                ka = a * K + int(top_i[t]) // K
-                kb = b * K + int(top_i[t]) % K
-                key, sub = jax.random.split(key)
-                res = lc_verify.verify_candidate(
-                    cfg, map_view, g, jnp.int32(ka), jnp.int32(kb), sub)
-                if bool(res.ok):
-                    g = graph_mod.add_pose_pose(
-                        g, jnp.int32(ka), jnp.int32(kb), res.rel_pose,
-                        jnp.float32(200.0), True)
-                    n_accepted += 1
+    sigs = jnp.stack([s.kf_sig for s in states])                # (B, K, V)
+    valid = jnp.stack([s.sig_valid for s in states]) \
+        & has_obs.reshape(B, K)                                 # (B, K)
+    S = jnp.einsum("aiv,bjv->abij", sigs, sigs)                 # (B, B, K, K)
+    upper = jnp.arange(B)[:, None] < jnp.arange(B)[None, :]     # a < b only
+    mask = (valid[:, None, :, None] & valid[None, :, None, :]
+            & upper[:, :, None, None])
+    S = jnp.where(mask, S, -jnp.inf)
+
+    top_v, top_i = jax.lax.top_k(S.reshape(B * B, K * K), top_per_pair)
+    a_idx = (jnp.arange(B * B) // B)[:, None]                   # (B², 1)
+    b_idx = (jnp.arange(B * B) % B)[:, None]
+    ka = (a_idx * K + top_i // K).reshape(-1).astype(jnp.int32)
+    kb = (b_idx * K + top_i % K).reshape(-1).astype(jnp.int32)
+    cand_ok = (top_v >= min_score).reshape(-1)
+
+    n_cand = ka.shape[0]
+    keys = jax.random.split(key, n_cand)
+    vres = jax.vmap(
+        lambda a, b, k: lc_verify.verify_candidate(cfg, map_view, g, a, b, k)
+    )(jnp.maximum(ka, 0), jnp.maximum(kb, 0), keys)
+
+    accept = np.asarray(vres.ok & cand_ok)                      # one sync
+    rel = np.asarray(vres.rel_pose)
+    ka_h, kb_h = np.asarray(ka), np.asarray(kb)
+    n_accepted = 0
+    for t in np.nonzero(accept)[0]:
+        g = graph_mod.add_pose_pose(
+            g, jnp.int32(ka_h[t]), jnp.int32(kb_h[t]), jnp.asarray(rel[t]),
+            jnp.float32(200.0), True)
+        n_accepted += 1
     return g, n_accepted
 
 
@@ -159,4 +187,5 @@ def joint_optimize(cfg: SlamConfig, mesh, merged: MergedProblem,
         fixed = fixed.at[merged.anchors].set(True)
     return dist_ba.dist_gauss_newton(
         cfg.backend, mesh, merged.kf_pose, merged.kf_valid,
-        merged.lm_pos, merged.lm_valid, g, fixed, merged.lm_gen)
+        merged.lm_pos, merged.lm_valid, g, fixed, merged.lm_gen,
+        merged.kf_gen, cam=cfg.camera)

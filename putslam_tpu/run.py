@@ -88,15 +88,19 @@ def main(argv=None) -> int:
         outs = None
     else:
         with timer.stage("slam_total"):
-            est, outs, state = slam.run_slam(cfg, grays, depths,
-                                             init_pose=init_pose,
-                                             seed=args.seed)
+            est_vo_anchored, est, outs, state = slam.run_slam_final(
+                cfg, grays, depths, init_pose=init_pose, seed=args.seed)
     total = time.perf_counter() - t0
 
     # --- outputs (reference file names) ----------------------------------
     ts = timestamps if timestamps is not None else np.arange(len(est)) / 30.0
     traj_name = "VO_trajectory.res" if args.only_vo else "graph_trajectory.res"
     tum.save_trajectory(os.path.join(args.out, traj_name), ts, est)
+    if not args.only_vo:
+        # pre-final-optimization trajectory (the reference saves both the VO
+        # and the optimized-graph trajectory, PUTSLAM.cpp:1006-1016)
+        tum.save_trajectory(os.path.join(args.out, "VO_trajectory.res"), ts,
+                            est_vo_anchored)
     timing.write_fps(os.path.join(args.out, "fps.res"), len(grays), total)
     timer.write_times_txt(os.path.join(args.out, "times.txt"))
     if outs is not None:
@@ -116,6 +120,11 @@ def main(argv=None) -> int:
     if gt_poses is not None:
         report["ate_rmse_m"] = round(
             ate_mod.ate_rmse_aligned_frames(gt_poses, est), 5)
+        if not args.only_vo:
+            # before/after the end-of-run full-graph optimization — the
+            # reference's VOAte.res vs g2oAte.res pair (PUTSLAM.cpp:1222-1233)
+            report["ate_before_final_m"] = round(
+                ate_mod.ate_rmse_aligned_frames(gt_poses, est_vo_anchored), 5)
         tr, rot = rpe_mod.rpe(gt_poses, est)
         report["rpe_trans_m"] = round(tr, 5)
         report["rpe_rot_rad"] = round(rot, 5)

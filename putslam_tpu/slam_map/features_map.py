@@ -48,6 +48,10 @@ class MapState(NamedTuple):
     kf_pose: jnp.ndarray       # (K, 7) camera→world
     kf_valid: jnp.ndarray      # (K,) bool
     kf_seq: jnp.ndarray        # (K,) int32 sequential keyframe number per slot
+    kf_gen: jnp.ndarray        # (K,) int32 slot generation — bumped on ring
+                               # reuse so graph edges referencing the old
+                               # occupant are masked out of BA (the keyframe
+                               # analog of lm_gen)
     n_kf: jnp.ndarray          # () int32 — total keyframes ever created
     covis: jnp.ndarray         # (K, K) float32 covisibility weights
 
@@ -74,6 +78,7 @@ def init_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         kf_pose=jnp.tile(se3.identity(dtype=dtype), (K, 1)),
         kf_valid=jnp.zeros((K,), bool),
         kf_seq=jnp.full((K,), -1, jnp.int32),
+        kf_gen=jnp.zeros((K,), jnp.int32),
         n_kf=jnp.int32(0),
         covis=jnp.zeros((K, K), dtype),
     )
@@ -132,9 +137,22 @@ def guided_match(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
 
     dist = jnp.where(gate, desc_dist, jnp.inf)
     best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)            # (L,)
-    best = jnp.min(dist, axis=1)
-    # acceptance: absolute Hamming gate ≈ the ratio-of-best acceptance
-    ok = jnp.isfinite(best) & (best <= mc.max_hamming)
+    if mc.acceptance == "ratio":
+        # ratio-of-best (matcher.cpp:734-747): the winner must beat the
+        # second-best candidate by the acceptance ratio — repetitive texture
+        # that aliases across candidates is rejected instead of admitted
+        two = -jax.lax.top_k(-jnp.where(jnp.isfinite(dist), dist, 1e9),
+                             2)[0]                                   # (L, 2)
+        best, second = two[:, 0], two[:, 1]
+        distinct = (best <= mc.matching_xyz_acceptance_ratio * second) \
+            | (second >= 1e9)  # a single candidate is trivially distinct
+        ok = (best < 1e9) & (best <= mc.max_hamming) & distinct
+        best = jnp.where(best < 1e9, best, jnp.inf)
+    else:
+        best = jnp.min(dist, axis=1)
+        # acceptance: absolute Hamming gate (documented deviation from the
+        # reference's band acceptance; selectable via mc.acceptance)
+        ok = jnp.isfinite(best) & (best <= mc.max_hamming)
     n_cand = jnp.sum(jnp.any(jnp.isfinite(dist), axis=1)).astype(jnp.int32)
     return GuidedMatchResult(best_idx, jnp.where(ok, best, jnp.inf), ok, n_cand)
 
@@ -256,17 +274,27 @@ def update_matched_landmarks(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
 def add_keyframe(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
                  covis_with_prev: jnp.ndarray) -> Tuple[MapState, jnp.ndarray]:
     """Append a keyframe (bounded ring: indices mod K) and record the
-    covisibility edge to the previous keyframe (weightedGraph.h:30-97)."""
+    covisibility edge to the previous keyframe (weightedGraph.h:30-97).
+
+    When the ring wraps (n_kf ≥ K) the recycled slot's generation is bumped —
+    graph edges stamped with the old generation are masked out of BA — and
+    the slot's covisibility row/column is cleared, so the new occupant never
+    inherits the evicted keyframe's graph connectivity (the reference keeps
+    its graph sound through marginalization, featuresMap.cpp:1056-1104)."""
     K = m.kf_pose.shape[0]
     idx = jnp.mod(m.n_kf, K)
     prev = jnp.mod(m.n_kf - 1, K)
+    recycled = m.kf_valid[idx]
     kf_pose = m.kf_pose.at[idx].set(pose)
     kf_valid = m.kf_valid.at[idx].set(True)
     kf_seq = m.kf_seq.at[idx].set(m.n_kf)
-    covis = m.covis.at[idx, prev].set(covis_with_prev)
+    kf_gen = m.kf_gen.at[idx].add(recycled.astype(jnp.int32))
+    covis = m.covis.at[idx, :].set(0.0)
+    covis = covis.at[:, idx].set(0.0)
+    covis = covis.at[idx, prev].set(covis_with_prev)
     covis = covis.at[prev, idx].set(covis_with_prev)
     return m._replace(kf_pose=kf_pose, kf_valid=kf_valid, kf_seq=kf_seq,
-                      n_kf=m.n_kf + 1, covis=covis), idx
+                      kf_gen=kf_gen, n_kf=m.n_kf + 1, covis=covis), idx
 
 
 def covisibility_ratio(gm: GuidedMatchResult, m: MapState,
