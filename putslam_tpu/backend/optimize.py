@@ -331,11 +331,203 @@ def gauss_newton(bcfg: BackendConfig,
     return BAResult(kf_out, lm_out, chi2s, sq_final)
 
 
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cam",))
+def gauss_newton_mm(bcfg: BackendConfig,
+                    kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
+                    lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
+                    g: GraphState,
+                    fixed_kf: jnp.ndarray,
+                    lm_gen: jnp.ndarray = None,
+                    kf_gen: jnp.ndarray = None,
+                    cam: CameraConfig = None) -> BAResult:
+    """Dense Schur rebuilt for the MXU: the camera-landmark coupling is
+    never scattered into a (K, L, 6, 3) buffer (XLA lowers that scatter
+    to a serialized update stream — the single most expensive op of the
+    scatter-based path, and a compile-time bomb at fr1 capacities).
+    Instead the *whitened* coupling
+
+        G[k·6+i, l·3+a] = Σ_{m: kf=k, lm=l}  (w·JpᵀJl · chol(H_ll⁻¹))[i,a]
+
+    is built by one one-hot matmul — A = P ⊙ F row-expanded (M, 18K),
+    G' = Aᵀ·Q with P/Q the keyframe/landmark one-hot operators — and the
+    Schur subtrahend is a single MXU product S_sub = G·Gᵀ.
+
+    Precision contract: S (curvature) is accumulated from bfloat16 inputs
+    in float32 — it only shapes the step *direction*. The gradient b is
+    computed exactly in float32 through per-observation products, so the
+    Gauss-Newton fixed point (b → 0) is unchanged; bf16 curvature error
+    (~0.4 %) only perturbs the path, an inexact-Newton step the damping
+    absorbs. (Same trade g2o makes with its PCG tolerance.)
+    """
+    K = kf_pose.shape[0]
+    L = lm_pos.shape[0]
+    M = g.obs_kf.shape[0]
+    lam = bcfg.damping
+    f32 = kf_pose.dtype
+    fu, fv = (cam.fu, cam.fv) if cam is not None else (525.0, 525.0)
+
+    # one-hot operators: loop-invariant, built once per call
+    Pb = jax.nn.one_hot(g.obs_kf, K, dtype=jnp.bfloat16)        # (M, K)
+    Qb = jax.nn.one_hot(g.obs_lm, L, dtype=jnp.bfloat16)        # (M, L)
+    Pf = jax.nn.one_hot(g.obs_kf, K, dtype=f32)                 # (M, K)
+
+    gate = g.obs_valid & lm_valid[g.obs_lm]
+    if lm_gen is not None:
+        gate = gate & (g.obs_gen == lm_gen[g.obs_lm])
+    if kf_gen is not None:
+        gate = gate & (g.obs_kfgen == kf_gen[g.obs_kf])
+
+    pp_gate = g.pp_valid
+    if kf_gen is not None:
+        pp_gate = pp_gate & (g.pp_gen_i == kf_gen[g.pp_i]) \
+            & (g.pp_gen_j == kf_gen[g.pp_j])
+
+    if bcfg.use_obs_info and bcfg.error_type == 0:
+        Lw = chol3x3(g.obs_info)                                # (M, 3, 3)
+
+    def do_iteration(carry):
+        kf_pose, lm_pos = carry
+        kf_p = kf_pose[g.obs_kf]                                # (M, 7)
+        lm_p = lm_pos[g.obs_lm]                                 # (M, 3)
+        r, Jp, Jl = factors.assemble_obs_terms(kf_p, lm_p, g.obs_xyz,
+                                               bcfg.error_type, fu, fv)
+        if bcfg.use_obs_info and bcfg.error_type == 0:
+            r = jnp.einsum("msr,ms->mr", Lw, r)
+            Jp = jnp.einsum("msr,msj->mrj", Lw, Jp)
+            Jl = jnp.einsum("msr,msj->mrj", Lw, Jl)
+            w_info = gate.astype(f32)
+        else:
+            w_info = g.obs_w * gate
+        sq = w_info * jnp.sum(r * r, axis=-1)
+        w = w_info * factors.robust_weight(sq, bcfg.robust_kernel,
+                                           bcfg.robust_delta)
+        chi2 = jnp.sum(sq)
+
+        # --- per-observation blocks -------------------------------------
+        C = jnp.einsum("m,mri,mra->mia", w, Jp, Jl)             # (M, 6, 3)
+        JpT_Jp = jnp.einsum("m,mri,mrj->mij", w, Jp, Jp)        # (M, 6, 6)
+        JlT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jl, Jl)        # (M, 3, 3)
+        bp = -jnp.einsum("m,mri,mr->mi", w, Jp, r)              # (M, 6)
+        bl = -jnp.einsum("m,mri,mr->mi", w, Jl, r)              # (M, 3)
+
+        # K-side segment sums as one (K, M)×(M, 42) matmul (exact: one-hot
+        # rows have a single 1.0; K is small so this is ~free on the MXU)
+        k_pack = jnp.concatenate([JpT_Jp.reshape(M, 36), bp], axis=1)
+        k_sums = jax.lax.dot_general(
+            Pf, k_pack, dimension_numbers=(((0,), (0,)), ((), ())))  # (K, 42)
+        H_cc_diag = k_sums[:, :36].reshape(K, 6, 6)
+        b_c = k_sums[:, 36:42]
+        # L-side segment sums: one fused scatter-add (12 lanes per row)
+        l_pack = jnp.concatenate([JlT_Jl.reshape(M, 9), bl], axis=1)
+        l_sums = jnp.zeros((L, 12), f32).at[g.obs_lm].add(l_pack)
+        H_ll = l_sums[:, :9].reshape(L, 3, 3)
+        b_l = l_sums[:, 9:12]
+
+        # --- pose-pose edges (E is small; scatter into (K,K,6,6) is fine) -
+        pi = kf_pose[g.pp_i]
+        pj = kf_pose[g.pp_j]
+        r6 = factors.pp_residual(pi, pj, g.pp_rel)
+        Ji, Jj = factors.pp_jacobians(pi, pj, g.pp_rel)
+        wpp_info = g.pp_w * pp_gate
+        sq_pp = wpp_info * jnp.sum(r6 * r6, axis=-1)
+        wpp = wpp_info * factors.robust_weight(sq_pp, bcfg.robust_kernel,
+                                               bcfg.robust_delta)
+        chi2 = chi2 + jnp.sum(sq_pp)
+        H_cc = jnp.zeros((K, K, 6, 6), f32)
+        H_cc = H_cc.at[jnp.arange(K), jnp.arange(K)].add(H_cc_diag)
+        H_cc = H_cc.at[g.pp_i, g.pp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji))
+        H_cc = H_cc.at[g.pp_j, g.pp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj))
+        H_cc = H_cc.at[g.pp_i, g.pp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Jj))
+        H_cc = H_cc.at[g.pp_j, g.pp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Ji))
+        b_c = b_c.at[g.pp_i].add(-jnp.einsum("e,eri,er->ei", wpp, Ji, r6))
+        b_c = b_c.at[g.pp_j].add(-jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
+
+        # --- landmark elimination ----------------------------------------
+        tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
+        H_ll_inv = inv3x3(H_ll + (lam * (1.0 + tr_ll))[:, None, None]
+                          * jnp.eye(3, dtype=f32))
+        Linv = chol3x3(H_ll_inv)                                # (L, 3, 3)
+
+        # whitened coupling F = C · Linv[lm]  (so G·Gᵀ = H_cl·H_ll⁻¹·H_clᵀ)
+        F = jnp.einsum("mia,mab->mib", C, Linv[g.obs_lm])       # (M, 6, 3)
+        A = (Pb[:, None, :] * F.reshape(M, 18, 1).astype(jnp.bfloat16)
+             ).reshape(M, 18 * K)                                # (M, 18K)
+        Gp = jax.lax.dot_general(
+            A, Qb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                          # (18K, L)
+        G2d = Gp.reshape(6, 3, K, L).transpose(2, 0, 3, 1).reshape(K * 6, L * 3)
+        Gb = G2d.astype(jnp.bfloat16)
+        S_sub = jax.lax.dot_general(
+            Gb, Gb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                          # (K6, K6)
+        S = H_cc.transpose(0, 2, 1, 3).reshape(K * 6, K * 6) - S_sub
+
+        # exact f32 gradient of the reduced system
+        t = jnp.einsum("lab,lb->la", H_ll_inv, b_l)             # (L, 3)
+        c_m = jnp.einsum("mia,ma->mi", C, t[g.obs_lm])          # (M, 6)
+        b_red = (b_c - jax.lax.dot_general(
+            Pf, c_m, dimension_numbers=(((0,), (0,)), ((), ())))
+        ).reshape(K * 6)
+
+        # --- gauge fixing + solve (same robustness contract as the
+        # scatter path) ----------------------------------------------------
+        frozen = fixed_kf | ~kf_valid
+        frozen6 = jnp.repeat(frozen, 6)
+        S = jnp.where(frozen6[:, None] | frozen6[None, :], 0.0, S)
+        S = S + jnp.diag(frozen6.astype(S.dtype))
+        S = 0.5 * (S + S.T)
+        max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(S))), 1.0)
+        S = S + (lam * max_diag) * jnp.eye(K * 6, dtype=S.dtype)
+        b_red = jnp.where(frozen6, 0.0, b_red)
+        dc = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S, lower=True), b_red)
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        dc = jnp.where(jnp.all(jnp.abs(dc) < 1e3), dc, 0.0)
+        dc_mat = dc.reshape(K, 6)
+
+        # --- landmark back-substitution: δl = H_ll⁻¹ (b_l − H_lc δc) ------
+        u_m = jnp.einsum("mia,mi->ma", C, dc_mat[g.obs_kf])     # (M, 3)
+        Hlc_dc = jnp.zeros((L, 3), f32).at[g.obs_lm].add(u_m)
+        dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
+        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
+
+        new_pose = se3.retract(kf_pose, dc_mat)
+        new_pose = jnp.where(frozen[:, None], kf_pose, new_pose)
+        moved = lm_valid & (jnp.abs(dl).max(axis=-1) < 1e3)
+        new_lm = jnp.where(moved[:, None], lm_pos + dl, lm_pos)
+        return (new_pose, new_lm), chi2
+
+    # chi²-ratio convergence (graph_g2o.cpp:888-908): once an iteration
+    # fails to improve chi² by the configured ratio, the remaining scan
+    # steps take the skip branch of the cond — essentially free at runtime,
+    # so steady-state BA calls pay for only the 1-2 iterations they need.
+    def iteration(carry, _):
+        kf_pose, lm_pos, prev_chi2, done = carry
+        (new_pose, new_lm), chi2 = jax.lax.cond(
+            done,
+            lambda c: (c, prev_chi2),
+            do_iteration,
+            (kf_pose, lm_pos))
+        done = done | (chi2 >= bcfg.chi2_ratio_termination * prev_chi2)
+        return (new_pose, new_lm, chi2, done), chi2
+
+    (kf_out, lm_out, _, _), chi2s = jax.lax.scan(
+        iteration, (kf_pose, lm_pos, jnp.float32(jnp.inf),
+                    jnp.asarray(False)),
+        None, length=bcfg.gn_iterations)
+    _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
+                                         lm_gen, kf_gen, cam)
+    return BAResult(kf_out, lm_out, chi2s, sq_final)
+
+
 def optimize_graph(bcfg: BackendConfig, kf_pose, kf_valid, lm_pos, lm_valid,
                    g: GraphState, fixed_kf, lm_gen=None, kf_gen=None,
                    cam: CameraConfig = None) -> BAResult:
-    """Solver front door: dispatches on bcfg.solver ("dense_schur" | "pcg")."""
-    fn = gauss_newton if bcfg.solver == "dense_schur" else gauss_newton_pcg
+    """Solver front door: dispatches on bcfg.solver
+    ("dense_schur_mm" | "dense_schur" | "pcg")."""
+    fn = {"dense_schur": gauss_newton,
+          "dense_schur_mm": gauss_newton_mm,
+          "pcg": gauss_newton_pcg}[bcfg.solver]
     return fn(bcfg, kf_pose, kf_valid, lm_pos, lm_valid, g, fixed_kf, lm_gen,
               kf_gen, cam=cam)
 

@@ -121,6 +121,11 @@ class TrackerConfig:
     eps: float = 0.01
     error_threshold: float = 8.0
     min_tracked_features: int = 300
+    # extra single-level photometric polish of the tracked locations with a
+    # widened window (MatchingOnPatches ``optimizeLocation`` wired into the
+    # tracking pipeline; src/Matcher/MatchingOnPatches.cpp)
+    patch_refine: bool = False
+    patch_refine_win: int = 11
 
 
 @dataclass(frozen=True)
@@ -161,13 +166,29 @@ class BackendConfig:
     CG on the reduced camera system."""
 
     max_pose_pose_edges: int = 1024
-    max_observations: int = 65536         # pose-landmark measurement capacity
-    gn_iterations: int = 4                # per optimize() call (reference uses 1-iter loop)
-    # linear solver for the reduced camera system: "dense_schur" materializes
-    # the (K6, L3) coupling and one MXU matmul (fast for K<=256, L<=8192);
-    # "pcg" is matrix-free block-Jacobi preconditioned CG (the reference's
-    # LinearSolverPCG choice, graph_g2o.cpp:35 — scales to larger maps)
-    solver: str = "dense_schur"
+    # pose-landmark measurement capacity. This is a *ring*: the oldest
+    # observations are overwritten once it wraps, which (with window fixing)
+    # is the marginalization behavior of featuresMap.cpp:1056-1104. 8192
+    # ≈ 80 keyframes × ~100 measurements — comfortably covers the active
+    # window; 64k (round-2 default) made the BA program a compile bomb on
+    # TPU for no accuracy gain.
+    max_observations: int = 8192
+    # GN iterations per optimize() call. The reference's continuous thread
+    # runs 1-iteration passes (featuresMap.cpp:881-1026); at the every-5-
+    # keyframes cadence 2 iterations measured the best fps/ATE trade on TPU
+    # (gn=4 costs 30 % fps for no ATE gain; the end-of-run final polish
+    # equalizes all settings anyway).
+    gn_iterations: int = 2
+    # linear solver for the reduced camera system:
+    # "dense_schur_mm" (default) — MXU formulation: the whitened coupling G
+    #   is built by one-hot matmuls and the Schur subtrahend is a single
+    #   G·Gᵀ product; no (K, L) scatter exists (that scatter is both the
+    #   runtime hog and a compile-time bomb on TPU). Curvature accumulates
+    #   from bf16 in f32 — the f32-exact gradient pins the fixed point.
+    # "dense_schur" — scatter-based f32 reference implementation.
+    # "pcg" — matrix-free block-Jacobi CG (the reference's LinearSolverPCG
+    #   architecture, graph_g2o.cpp:35 — for maps too large to densify).
+    solver: str = "dense_schur_mm"
     pcg_iterations: int = 64
     pcg_tol: float = 1e-6
     damping: float = 1e-5                 # LM-style relative diagonal damping
@@ -191,6 +212,11 @@ class BackendConfig:
     # --- end-of-run final optimization (featuresMap.cpp:980-1025) ---------
     final_gn_iterations: int = 12         # full-graph polish pass length
     final_min_obs: int = 2                # removeWeakFeatures threshold analog
+    # trajectory sanity repair (checkTrajectory/cleanCamTrajectory,
+    # graph_g2o.cpp:1026-1080, featuresMap.cpp:1224-1270): a keyframe whose
+    # optimized relative motion differs from its odometry edge by more than
+    # this (metres) is re-composed from odometry instead; ≤0 disables
+    trajectory_repair_threshold: float = 0.3
 
 
 @dataclass(frozen=True)
@@ -267,6 +293,9 @@ def tiny_test_config() -> SlamConfig:
         # inlier gate must be correspondingly looser than the fr1 default
         ransac=RansacConfig(n_hypotheses=128, inlier_threshold_euclidean=0.10),
         map=MapConfig(max_landmarks=512, max_keyframes=32),
+        # scatter-based dense path on the tiny CPU config (the mm path's
+        # one-hot matmuls only pay off on the MXU; solver equivalence is
+        # covered by tests/test_round3.py::test_solvers_agree)
         backend=BackendConfig(max_pose_pose_edges=64, max_observations=4096,
-                              pcg_iterations=32),
+                              pcg_iterations=32, solver="dense_schur"),
     )

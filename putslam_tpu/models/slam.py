@@ -72,10 +72,13 @@ class SlamOutputs(NamedTuple):
     anchor_pose: jnp.ndarray   # (7,) — the anchor keyframe pose at emit time
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4))
 def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
               seed: int = 0) -> SlamState:
     """First frame (processFirstFrame, PUTSLAM.cpp:315-333): detect, create
-    keyframe 0, provision initial landmarks."""
+    keyframe 0, provision initial landmarks. Jitted as one program — the
+    eager version paid one remote compile per tiny op on tunneled TPU
+    backends (minutes of wall clock before the first frame)."""
     if init_pose is None:
         init_pose = se3.identity()
     init_pose = jnp.asarray(init_pose)
@@ -454,7 +457,64 @@ def finalize(cfg: SlamConfig, state: SlamState) -> SlamState:
 
     m = m._replace(kf_pose=res2.kf_pose, lm_pos=res2.lm_pos,
                    lm_valid=lm_valid)
+    # trajectory sanity repair on the polished keyframes (cleanCamTrajectory)
+    kf_repaired, _ = check_trajectory(cfg, m, g)
+    m = m._replace(kf_pose=kf_repaired)
     return state._replace(map=m, graph=g)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def check_trajectory(cfg: SlamConfig, m: fm.MapState,
+                     g: graph_mod.GraphState):
+    """Trajectory sanity repair (``checkTrajectory``/``cleanCamTrajectory``,
+    graph_g2o.cpp:1026-1080, featuresMap.cpp:1224-1270): walk the keyframes
+    in sequence order; wherever the optimized relative motion to the
+    previous keyframe contradicts the stored odometry edge by more than
+    ``trajectory_repair_threshold`` metres, re-compose that keyframe from
+    odometry instead — a diverged BA segment is replaced by dead reckoning,
+    and everything downstream shifts rigidly with it.
+
+    Returns (kf_pose', n_repaired)."""
+    K = m.kf_pose.shape[0]
+    thr = cfg.backend.trajectory_repair_threshold
+    if thr <= 0:
+        return m.kf_pose, jnp.int32(0)
+
+    # odometry edges between seq-consecutive keyframes, keyed by successor
+    is_odo = (g.pp_valid
+              & (m.kf_seq[g.pp_j] == m.kf_seq[g.pp_i] + 1)
+              & (g.pp_gen_i == m.kf_gen[g.pp_i])
+              & (g.pp_gen_j == m.kf_gen[g.pp_j]))
+    safe_j = jnp.where(is_odo, g.pp_j, K - 1)
+    odo_rel = jnp.tile(se3.identity(), (K, 1))
+    odo_rel = odo_rel.at[safe_j].set(
+        jnp.where(is_odo[:, None], g.pp_rel, odo_rel[safe_j]))
+    has_odo = jnp.zeros((K,), bool).at[safe_j].max(is_odo)
+
+    order = jnp.argsort(jnp.where(m.kf_valid, m.kf_seq,
+                                  jnp.iinfo(jnp.int32).max))
+
+    def body(carry, idx):
+        prev_corr, prev_opt, started = carry
+        T_opt = m.kf_pose[idx]
+        valid = m.kf_valid[idx]
+        rel_opt = se3.relative(prev_opt, T_opt)
+        bad = valid & started & has_odo[idx] & (jnp.linalg.norm(
+            se3.translation(rel_opt) - se3.translation(odo_rel[idx])) > thr)
+        rel_use = jnp.where(bad, odo_rel[idx], rel_opt)
+        T_corr = se3.compose(prev_corr, rel_use)
+        first = valid & ~started
+        T_corr = jnp.where(first, T_opt, T_corr)
+        carry = (jnp.where(valid, T_corr, prev_corr),
+                 jnp.where(valid, T_opt, prev_opt),
+                 started | valid)
+        return carry, (T_corr, bad)
+
+    init = (se3.identity(), se3.identity(), jnp.asarray(False))
+    _, (corr, bad) = jax.lax.scan(body, init, order)
+    kf_pose = m.kf_pose.at[order].set(
+        jnp.where(m.kf_valid[order][:, None], corr, m.kf_pose[order]))
+    return kf_pose, jnp.sum(bad).astype(jnp.int32)
 
 
 def reanchor_trajectory(state: SlamState, outs: SlamOutputs):

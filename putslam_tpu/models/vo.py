@@ -154,6 +154,16 @@ def vo_step_tracking(cfg: SlamConfig, key: jax.Array, ts: TrackState,
     from putslam_tpu.ops import klt
 
     tr = klt.track(cfg.tracker, ts.gray, gray, ts.uv, ts.valid)
+    if cfg.tracker.patch_refine:
+        # patch-alignment polish (MatchingOnPatches optimizeLocation): one
+        # single-level GN pass with a widened window on the pyramid result
+        import dataclasses as _dc
+
+        wide = _dc.replace(cfg.tracker, win_size=cfg.tracker.patch_refine_win)
+        tr2 = klt.refine_patch_alignment(wide, ts.gray, gray, ts.uv, tr.pts,
+                                         tr.valid)
+        # keep the pyramid result wherever the polish diverged
+        tr = tr._replace(pts=jnp.where(tr2.valid[:, None], tr2.pts, tr.pts))
     z = camera_mod.sample_depth(depth, tr.pts)
     uv_und = camera_mod.undistort_pixels(cfg.camera, tr.pts)
     xyz_new = camera_mod.unproject(cfg.camera, uv_und, z)

@@ -75,3 +75,20 @@ def test_tracking_vo_on_orbit():
     rmse = ate.ate_rmse_aligned_frames(np.asarray(poses_gt), est)
     assert stats.ok.mean() > 0.5, stats.ok.mean()
     assert rmse < 0.15, rmse
+
+
+def test_tracking_vo_with_patch_refine():
+    """MatchingOnPatches wired into the tracking pipeline: the widened-window
+    photometric polish must not degrade tracking VO (and typically helps)."""
+    base = tiny_test_config().replace(vo_version=1)
+    poses_gt = synthetic.orbit_trajectory(20, radius=0.12, yaw_amp=0.1)
+    grays, depths = synthetic.render_sequence(base.camera, poses_gt)
+    gt = np.asarray(poses_gt)
+    results = {}
+    for refine in (False, True):
+        cfg = base.replace(tracker=dataclasses.replace(
+            base.tracker, min_tracked_features=60, patch_refine=refine))
+        est, stats = vo.run_vo(cfg, grays, depths, init_pose=gt[0])
+        results[refine] = ate.ate_rmse_aligned_frames(gt, est)
+    assert results[True] < 0.15, results
+    assert results[True] < results[False] * 1.3, results

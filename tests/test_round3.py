@@ -221,6 +221,29 @@ def test_reprojection_factor_recovers_pose(rng):
     np.testing.assert_allclose(p3[:3], p2[:3], atol=5e-3)
 
 
+def test_solvers_agree(rng):
+    """The MXU-formulated dense Schur (one-hot matmuls, bf16 curvature) must
+    reproduce the scatter-based f32 path and the matrix-free PCG path on the
+    same problem — same chi² trajectory, same solution."""
+    (kf0, kf_gt, kf_valid, lm0, lm_gt, lm_valid, g, fixed) = \
+        _toy_ba_problem(rng, noise=0.01)
+    cfg = tiny_test_config()
+    sols = {}
+    for solver in ("dense_schur", "dense_schur_mm", "pcg"):
+        bcfg = dataclasses.replace(cfg.backend, solver=solver,
+                                   gn_iterations=6, robust_kernel="none")
+        res = opt.optimize_graph(bcfg, kf0, kf_valid, lm0, lm_valid, g,
+                                 fixed)
+        sols[solver] = res
+    ref = np.asarray(sols["dense_schur"].kf_pose[1])
+    for solver in ("dense_schur_mm", "pcg"):
+        got = np.asarray(sols[solver].kf_pose[1])
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+        chi_ref = float(sols["dense_schur"].chi2[-1])
+        chi = float(sols[solver].chi2[-1])
+        assert abs(chi - chi_ref) < 0.02 * max(chi_ref, 1e-6), solver
+
+
 # ---------------------------------------------------------------------------
 # full-information (useUncertainty) observations
 # ---------------------------------------------------------------------------
@@ -319,6 +342,44 @@ def test_retry_ladder_recovers_degraded_frame():
     assert bool(results[3].map_ok)
     # the recovered pose must be back near the true (identity) pose
     assert float(jnp.linalg.norm(results[3].pose[:3])) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# trajectory sanity repair (checkTrajectory / cleanCamTrajectory)
+# ---------------------------------------------------------------------------
+
+
+def test_check_trajectory_repairs_diverged_keyframe():
+    cfg = small_slam_cfg()
+    K = cfg.map.max_keyframes
+    m = fm.init_map(cfg)
+    g = graph.init_graph(64, 32)
+    # 5 keyframes walking +x in 0.1 m steps, with odometry edges
+    step = se3.make_pose(jnp.array([0.1, 0.0, 0.0]), se3.quat_identity())
+    pose = se3.identity()
+    prev_idx = None
+    for i in range(5):
+        m, idx = fm.add_keyframe(cfg, m, pose, jnp.float32(0.8))
+        if prev_idx is not None:
+            g = graph.add_pose_pose(g, prev_idx, idx, step, 100.0, True,
+                                    gen_i=m.kf_gen[prev_idx],
+                                    gen_j=m.kf_gen[idx])
+        prev_idx = idx
+        pose = se3.compose(pose, step)
+
+    # corrupt keyframe 2: a 1 m jump that contradicts its odometry edge
+    m_bad = m._replace(kf_pose=m.kf_pose.at[2, 0].add(1.0))
+    repaired, n_rep = slam.check_trajectory(cfg, m_bad, g)
+    assert int(n_rep) >= 1
+    got = np.asarray(repaired[:5, 0])
+    # kf2 back on the odometry chain; kf3/kf4 rigid relative to kf2 again
+    np.testing.assert_allclose(got, [0.0, 0.1, 0.2, 0.3, 0.4], atol=1e-5)
+
+    # a clean trajectory passes through untouched
+    same, n0 = slam.check_trajectory(cfg, m, g)
+    np.testing.assert_allclose(np.asarray(same[:5]), np.asarray(m.kf_pose[:5]),
+                               atol=1e-5)
+    assert int(n0) == 0
 
 
 # ---------------------------------------------------------------------------
