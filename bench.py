@@ -37,6 +37,9 @@ from putslam_tpu.models import slam, vo
 
 REFERENCE_FPS = 30.0
 N_FRAMES = 64
+N_TIMED_REPS = 4   # sequential runs per timing, fetch once (the device
+                   # stream executes in order, so the final fetch fences all
+                   # reps — amortizes tunnel dispatch/fetch latency)
 
 
 def _fetch(x):
@@ -62,9 +65,10 @@ def main():
     slam_best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        st, outs = slam.slam_sequence(cfg, state, g[1:], d[1:])
+        for _ in range(N_TIMED_REPS):
+            st, outs = slam.slam_sequence(cfg, state, g[1:], d[1:])
         _fetch(outs.pose)
-        slam_best = min(slam_best, time.time() - t0)
+        slam_best = min(slam_best, (time.time() - t0) / N_TIMED_REPS)
     slam_fps = (N_FRAMES - 1) / slam_best
 
     est = np.concatenate([gt[:1], np.asarray(outs.pose)], axis=0)
@@ -77,9 +81,10 @@ def main():
     vo_best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        est_vo, _ = vo.vo_sequence(cfg, g, d, key)
+        for _ in range(N_TIMED_REPS):
+            est_vo, _ = vo.vo_sequence(cfg, g, d, key)
         _fetch(est_vo)
-        vo_best = min(vo_best, time.time() - t0)
+        vo_best = min(vo_best, (time.time() - t0) / N_TIMED_REPS)
     vo_fps = (N_FRAMES - 1) / vo_best
 
     detail = {

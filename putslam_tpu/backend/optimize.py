@@ -331,6 +331,37 @@ def gauss_newton(bcfg: BackendConfig,
     return BAResult(kf_out, lm_out, chi2s, sq_final)
 
 
+def schur_subtrahend_mm(obs_kf, obs_lm, F, K: int, L: int):
+    """The Schur subtrahend ``S_sub = H_cl·H_ll⁻¹·H_clᵀ`` (K·6, K·6) built
+    entirely with MXU matmuls from the *whitened* per-observation coupling
+    F = (w·JpᵀJl)·chol(H_ll⁻¹) — never scattering into a (K, L, 6, 3)
+    buffer (that scatter is XLA-serialized at runtime and a compile-time
+    bomb at fr1 capacities). Two products:
+
+        G[a, 6k+i, l] = Σ_m P[m,k]·F[m,i,a]·Q[m,l]   (one-hot expansion)
+        S_sub         = Σ_a G_a·G_aᵀ                  (batched over a)
+
+    Everything flows in bf16 with the *entries* exact to bf16 precision —
+    each G entry is the sum of the ≤1 observation a (keyframe, landmark)
+    pair has — and the S accumulation is f32. Curvature only shapes the
+    Gauss-Newton step direction; callers keep the gradient in exact f32,
+    which pins the fixed point (see gauss_newton_mm)."""
+    M = F.shape[0]
+    Pb = jax.nn.one_hot(obs_kf, K, dtype=jnp.bfloat16)          # (M, K)
+    Qb = jax.nn.one_hot(obs_lm, L, dtype=jnp.bfloat16)          # (M, L)
+    Fp = jnp.swapaxes(F, 1, 2).astype(jnp.bfloat16)             # (M, 3, 6)
+    A = (Pb[:, None, :] * Fp.reshape(M, 18, 1)).reshape(M, 18 * K)
+    Gp = jax.lax.dot_general(
+        A, Qb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.bfloat16)                     # (18K, L)
+    Ga = Gp.reshape(3, 6 * K, L)
+    Sik = jax.lax.dot_general(
+        Ga, Ga, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                      # (3, 6K, 6K)
+    S_ik = jnp.sum(Sik, axis=0)
+    return S_ik.reshape(6, K, 6, K).transpose(1, 0, 3, 2).reshape(K * 6, K * 6)
+
+
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cam",))
 def gauss_newton_mm(bcfg: BackendConfig,
                     kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
@@ -366,9 +397,7 @@ def gauss_newton_mm(bcfg: BackendConfig,
     f32 = kf_pose.dtype
     fu, fv = (cam.fu, cam.fv) if cam is not None else (525.0, 525.0)
 
-    # one-hot operators: loop-invariant, built once per call
-    Pb = jax.nn.one_hot(g.obs_kf, K, dtype=jnp.bfloat16)        # (M, K)
-    Qb = jax.nn.one_hot(g.obs_lm, L, dtype=jnp.bfloat16)        # (M, L)
+    # K-side one-hot segment-sum operator: loop-invariant, built once
     Pf = jax.nn.one_hot(g.obs_kf, K, dtype=f32)                 # (M, K)
 
     gate = g.obs_valid & lm_valid[g.obs_lm]
@@ -450,16 +479,7 @@ def gauss_newton_mm(bcfg: BackendConfig,
 
         # whitened coupling F = C · Linv[lm]  (so G·Gᵀ = H_cl·H_ll⁻¹·H_clᵀ)
         F = jnp.einsum("mia,mab->mib", C, Linv[g.obs_lm])       # (M, 6, 3)
-        A = (Pb[:, None, :] * F.reshape(M, 18, 1).astype(jnp.bfloat16)
-             ).reshape(M, 18 * K)                                # (M, 18K)
-        Gp = jax.lax.dot_general(
-            A, Qb, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                          # (18K, L)
-        G2d = Gp.reshape(6, 3, K, L).transpose(2, 0, 3, 1).reshape(K * 6, L * 3)
-        Gb = G2d.astype(jnp.bfloat16)
-        S_sub = jax.lax.dot_general(
-            Gb, Gb, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                          # (K6, K6)
+        S_sub = schur_subtrahend_mm(g.obs_kf, g.obs_lm, F, K, L)
         S = H_cc.transpose(0, 2, 1, 3).reshape(K * 6, K * 6) - S_sub
 
         # exact f32 gradient of the reduced system
@@ -551,26 +571,42 @@ def pose_covariances(bcfg: BackendConfig,
     diag blocks of S⁻¹ at the current estimate (the reference extracts the
     same from g2o's Hessian, graph_g2o.cpp:1324-1390 ``getPoseCovariance``).
 
-    Returns (K, 6, 6); fixed/invalid keyframes get zero blocks."""
+    Returns (K, 6, 6); fixed/invalid keyframes get zero blocks.
+
+    Built with the MXU coupling (``coupling_mm``) — the scatter-based build
+    was a compile/runtime bomb at fr1 capacities. Includes pose-pose edge
+    information (the reference extracts covariances from the full Hessian,
+    graph_g2o.cpp:1324-1390)."""
     K = kf_pose.shape[0]
     L = lm_pos.shape[0]
     lam = bcfg.damping
     r, Jp, Jl, w, _ = _assemble_obs(bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen,
                                     kf_gen, cam)
+    C = jnp.einsum("m,mri,mra->mia", w, Jp, Jl)
     JpT_Jp = jnp.einsum("m,mri,mrj->mij", w, Jp, Jp)
     JlT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jl, Jl)
-    JpT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jp, Jl)
-    H_cc = jnp.zeros((K, K, 6, 6), kf_pose.dtype).at[g.obs_kf, g.obs_kf].add(JpT_Jp)
+    H_cc = jnp.zeros((K, K, 6, 6), kf_pose.dtype)
+    H_cc = H_cc.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.zeros((K, 6, 6), kf_pose.dtype).at[g.obs_kf].add(JpT_Jp))
     H_ll = jnp.zeros((L, 3, 3), kf_pose.dtype).at[g.obs_lm].add(JlT_Jl)
-    H_cl = jnp.zeros((K, L, 6, 3), kf_pose.dtype).at[g.obs_kf, g.obs_lm].add(JpT_Jl)
+    # pose-pose edges
+    pi = kf_pose[g.pp_i]
+    pj = kf_pose[g.pp_j]
+    r6 = factors.pp_residual(pi, pj, g.pp_rel)
+    Ji, Jj = factors.pp_jacobians(pi, pj, g.pp_rel)
+    wpp, _ = _pp_weights(bcfg, g, r6, kf_gen)
+    H_cc = H_cc.at[g.pp_i, g.pp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji))
+    H_cc = H_cc.at[g.pp_j, g.pp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj))
+    H_cc = H_cc.at[g.pp_i, g.pp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Jj))
+    H_cc = H_cc.at[g.pp_j, g.pp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Ji))
+
     tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
     H_ll_inv = inv3x3(H_ll + (lam * (1.0 + tr_ll))[:, None, None]
                       * jnp.eye(3, dtype=kf_pose.dtype))
-    Hcl = H_cl.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
-    HclWinv = jnp.einsum("kla,lab->klb", Hcl.reshape(K * 6, L, 3), H_ll_inv)
+    Linv = chol3x3(H_ll_inv)
+    F = jnp.einsum("mia,mab->mib", C, Linv[g.obs_lm])
     S = (H_cc.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-         - jnp.dot(HclWinv.reshape(K * 6, L * 3), Hcl.T,
-                   preferred_element_type=jnp.float32))
+         - schur_subtrahend_mm(g.obs_kf, g.obs_lm, F, K, L))
     frozen = fixed_kf | ~kf_valid
     frozen6 = jnp.repeat(frozen, 6)
     S = jnp.where(frozen6[:, None] | frozen6[None, :], 0.0, S)

@@ -174,10 +174,26 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     def run_guided(scale, key):
         gm_s = fm.guided_match(cfg, state.map, pose_pred, feat,
                                radius_scale=scale)
-        p_s = feat.xyz[jnp.clip(gm_s.feat_idx, 0, feat.capacity - 1)]
-        res_s = ransac_mod.estimate(
-            cfg.ransac, cfg.camera, key, p_s, state.map.lm_pos, gm_s.valid)
-        return gm_s, res_s
+        # compact the matched pairs to the feature capacity before RANSAC:
+        # at most N features can be matched, so the (hypotheses × pairs)
+        # error evaluations shrink L→N (16× at fr1 capacities)
+        L = state.map.capacity
+        N = feat.capacity
+        sel = jnp.nonzero(gm_s.valid, size=N, fill_value=-1)[0]   # (N,)
+        on = sel >= 0
+        safe_lm_i = jnp.maximum(sel, 0)
+        idx_s = jnp.clip(gm_s.feat_idx[safe_lm_i], 0, N - 1)
+        p_s = feat.xyz[idx_s]                                     # (N, 3)
+        q_s = state.map.lm_pos[safe_lm_i]                         # (N, 3)
+        # useUncertainty: per-match sensor information feeds the Mahalanobis
+        # error model (error_version=3) — None compiles the plain models
+        info_s = _full_obs_info(cfg, feat.uv_undist[idx_s], p_s)
+        res_c = ransac_mod.estimate(
+            cfg.ransac, cfg.camera, key, p_s, q_s, on, info=info_s)
+        # scatter the inlier verdicts back onto the landmark axis
+        inliers_L = jnp.zeros((L,), bool).at[safe_lm_i].max(
+            res_c.inliers & on)
+        return gm_s, res_c._replace(inliers=inliers_L)
 
     gm, res_map = run_guided(1.0, k_map)
     scale = 1.0

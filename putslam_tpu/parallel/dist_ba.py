@@ -31,6 +31,7 @@ from jax import shard_map
 
 from putslam_tpu.backend import factors
 from putslam_tpu.backend.graph import GraphState
+from putslam_tpu.backend.optimize import schur_subtrahend_mm
 from putslam_tpu.config import BackendConfig, CameraConfig
 from putslam_tpu.geometry import se3
 from putslam_tpu.geometry.uncertainty import chol3x3, inv3x3
@@ -94,15 +95,13 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
 
             JpT_Jp = jnp.einsum("m,mri,mrj->mij", w, Jp, Jp)
             JlT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jl, Jl)
-            JpT_Jl = jnp.einsum("m,mri,mrj->mij", w, Jp, Jl)
+            C = jnp.einsum("m,mri,mra->mia", w, Jp, Jl)    # (M, 6, 3)
             bp = -jnp.einsum("m,mri,mr->mi", w, Jp, r)
             bl = -jnp.einsum("m,mri,mr->mi", w, Jl, r)
 
             H_cc_part = jnp.zeros((K, K, 6, 6), kf_pose.dtype)
             H_cc_part = H_cc_part.at[g.obs_kf, g.obs_kf].add(JpT_Jp)
             H_ll = jnp.zeros((Ls, 3, 3), kf_pose.dtype).at[safe_lm].add(JlT_Jl)
-            H_cl = jnp.zeros((K, Ls, 6, 3), kf_pose.dtype)
-            H_cl = H_cl.at[g.obs_kf, safe_lm].add(JpT_Jl)
             b_c_part = jnp.zeros((K, 6), kf_pose.dtype).at[g.obs_kf].add(bp)
             b_l = jnp.zeros((Ls, 3), kf_pose.dtype).at[safe_lm].add(bl)
 
@@ -133,20 +132,22 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
                 -jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
 
             # --- local Schur contribution + ICI reduction -----------------
+            # MXU coupling build (optimize.coupling_mm) — rows for edges not
+            # owned by this shard vanish because w (hence C/F) is 0 there
             tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
             H_ll_inv = inv3x3(
                 H_ll + (lam * (1.0 + tr_ll))[:, None, None]
                 * jnp.eye(3, dtype=kf_pose.dtype))
-
-            Hcl = H_cl.transpose(0, 2, 1, 3).reshape(K * 6, Ls * 3)
-            HclWinv = jnp.einsum("kla,lab->klb",
-                                 Hcl.reshape(K * 6, Ls, 3), H_ll_inv)
+            Linv = chol3x3(H_ll_inv)
+            F = jnp.einsum("mia,mab->mib", C, Linv[safe_lm])
             S_part = (H_cc_part.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-                      - jnp.dot(HclWinv.reshape(K * 6, Ls * 3), Hcl.T,
-                                preferred_element_type=jnp.float32))
-            Winv_bl = jnp.einsum("lab,lb->la", H_ll_inv, b_l)
-            b_part = b_c_part.reshape(K * 6) - jnp.dot(
-                Hcl, Winv_bl.reshape(Ls * 3))
+                      - schur_subtrahend_mm(g.obs_kf, safe_lm, F, K, Ls))
+            # exact f32 gradient of the reduced system (per-obs products)
+            t = jnp.einsum("lab,lb->la", H_ll_inv, b_l)      # (Ls, 3)
+            c_m = jnp.einsum("mia,ma->mi", C, t[safe_lm])    # (M, 6)
+            b_part = (b_c_part
+                      - jnp.zeros((K, 6), kf_pose.dtype).at[g.obs_kf].add(c_m)
+                      ).reshape(K * 6)
 
             S = jax.lax.psum(S_part, axis)                 # (K6, K6) — tiny
             b_red = jax.lax.psum(b_part, axis)
@@ -165,8 +166,9 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
             dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
             dc = jnp.where(jnp.all(jnp.abs(dc) < 1e3), dc, 0.0)
 
-            # --- local landmark back-substitution -------------------------
-            Hlc_dc = jnp.einsum("kla,k->la", Hcl.reshape(K * 6, Ls, 3), dc)
+            # --- local landmark back-substitution (per-obs products) ------
+            u_m = jnp.einsum("mia,mi->ma", C, dc.reshape(K, 6)[g.obs_kf])
+            Hlc_dc = jnp.zeros((Ls, 3), kf_pose.dtype).at[safe_lm].add(u_m)
             dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
             dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
 

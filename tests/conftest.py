@@ -32,3 +32,16 @@ assert len(jax.devices()) == 8
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Reset JAX's compiled-executable caches between test modules.
+
+    The full suite accumulates hundreds of XLA:CPU executables in one
+    process; past ~110 tests the next compilation segfaults inside
+    backend_compile_and_load (deterministically, only in the full-suite
+    order — every subset passes). Clearing per module keeps peak JIT state
+    bounded and sidesteps the crash at the cost of some recompilation."""
+    yield
+    jax.clear_caches()

@@ -26,10 +26,14 @@ def test_dist_ba_matches_single_device(rng):
         bcfg, m, jnp.asarray(kf_init), jnp.ones((K,), bool),
         jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed, lm_gen)
 
+    # dist_ba builds its Schur coupling through the bf16 MXU path
+    # (optimize.coupling_mm) while the single-device scatter reference is
+    # all-f32: curvature differs by ~0.2 % (direction only — the gradient
+    # is f32-exact in both), so the chi² descent path drifts slightly
     np.testing.assert_allclose(np.asarray(res.chi2), np.asarray(chi2_d),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=5e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(res.kf_pose), np.asarray(kf_d),
-                               atol=5e-4)
+                               atol=1e-3)
     np.testing.assert_allclose(np.asarray(res.lm_pos), np.asarray(lm_d),
                                atol=5e-3)
 

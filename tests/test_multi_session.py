@@ -58,3 +58,35 @@ def test_merge_and_joint_optimize():
     # joint BA should not blow up the residual
     chi = np.asarray(chi2)
     assert chi[-1] <= chi[0] * 1.05
+
+
+def test_four_session_stretch():
+    """BASELINE.json stretch configuration: 4 sequences jointly optimized.
+    Exercises the fully-batched cross-session closure search (one einsum
+    over all B·(B−1)/2 pairs, one vmapped verification) and the distributed
+    joint BA over the merged problem."""
+    cfg = lc_cfg()
+    states = []
+    for b, radius in enumerate((0.10, 0.13, 0.16, 0.19)):
+        s, _, _ = run_session(cfg, 12, radius, seed=b)
+        states.append(s)
+    merged = multi_session.merge_sessions(cfg, states)
+    K = states[0].map.kf_pose.shape[0]
+    assert merged.kf_pose.shape == (4 * K, 7)
+    assert merged.kf_gen.shape == (4 * K,)
+    assert int(merged.kf_valid.sum()) == sum(
+        int(s.map.kf_valid.sum()) for s in states)
+
+    g2, n_edges = multi_session.find_cross_session_closures(
+        cfg, merged, states, jax.random.PRNGKey(0))
+    # four orbits of the same room at nearby radii overlap heavily —
+    # several of the 6 session pairs must close
+    assert n_edges >= 2, n_edges
+
+    mesh = mesh_mod.make_mesh(8, axis="lm")
+    kf_out, lm_out, chi2 = multi_session.joint_optimize(
+        cfg, mesh, merged, g2, n_edges)
+    assert np.isfinite(np.asarray(kf_out)).all()
+    chi = np.asarray(chi2)
+    assert np.isfinite(chi).all()
+    assert chi[-1] <= chi[0] * 1.05
