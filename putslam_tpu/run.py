@@ -36,6 +36,13 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-closure", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reference-resources", default=None,
+                    help="load the operating point from a reference-style "
+                         "resources/ directory of XML configs "
+                         "(putslamconfigGlobal.xml chain)")
+    ap.add_argument("--dataset-name", default=None,
+                    help="datasetConfig/<name>.xml to use with "
+                         "--reference-resources")
     ap.add_argument("--plots", action="store_true",
                     help="write trajectory/map/stats PNGs (offline visualizer)")
     args = ap.parse_args(argv)
@@ -47,7 +54,14 @@ def main(argv=None) -> int:
     from putslam_tpu.utils import timing
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = tum_fr1_config(only_vo=args.only_vo, vo_version=args.vo_version)
+    if args.reference_resources:
+        from putslam_tpu.io import xml_config
+
+        cfg = xml_config.load_reference_config(args.reference_resources,
+                                               args.dataset_name)
+        cfg = cfg.replace(only_vo=args.only_vo, vo_version=args.vo_version)
+    else:
+        cfg = tum_fr1_config(only_vo=args.only_vo, vo_version=args.vo_version)
     if args.loop_closure:
         cfg = cfg.replace(loop_closure=dataclasses.replace(
             cfg.loop_closure, enabled=True))

@@ -1,6 +1,9 @@
+import json
 import os
 import subprocess
 import sys
+
+import pytest
 
 import jax.numpy as jnp
 import numpy as np
@@ -101,3 +104,40 @@ def test_run_cli_synthetic(tmp_path):
     rep = json.loads(line)
     assert rep["frames"] == 8
     assert "ate_rmse_m" in rep
+
+
+def test_run_experiments_sweep(tmp_path):
+    """Batch driver (runPUTSLAM.py + summarizeResults.py analog): sweep one
+    reference-style preset over a synthetic sequence and aggregate."""
+    import shutil
+
+    ref_res = "/root/reference/resources"
+    if not os.path.isdir(ref_res):
+        pytest.skip("reference not mounted")
+    preset = tmp_path / "configs" / "fr1"
+    preset.mkdir(parents=True)
+    for f in os.listdir(ref_res):
+        if f.startswith("putslam") and f.endswith(".xml"):
+            shutil.copy(os.path.join(ref_res, f), preset / f)
+    shutil.copytree(os.path.join(ref_res, "datasetConfig"),
+                    preset / "datasetConfig")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0,'/root/repo');"
+        "from tools.run_experiments import main;"
+        f"raise SystemExit(main(['--configs','{tmp_path / 'configs'}',"
+        f"'--synthetic','6','--dataset-name','freiburg1_desk',"
+        f"'--out','{tmp_path / 'results'}']))"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(open(tmp_path / "results" / "resultSummary.json").read())
+    assert "fr1" in summary["presets"]
+    rep = summary["presets"]["fr1"]
+    assert rep["frames"] == 6
+    assert "ate_rmse_m" in rep
+    assert summary["aggregate"]["fps"]["n"] == 1
