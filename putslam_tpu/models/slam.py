@@ -227,51 +227,58 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     ) & (state.frames_since_kf >= cfg.map.min_frames_between_keyframes) \
         & (vo_res.ok | map_ok)  # never keyframe a fully-failed step
 
-    # ---- 4. keyframe bookkeeping (branchless, masked by is_kf) ----------
-    m = state.map
+    # ---- 4. keyframe bookkeeping (lax.cond-gated: the map/graph update
+    # machinery — slot allocation, descriptor-slot management, provisioning,
+    # edge appends — only runs on keyframe steps; non-keyframe frames pass
+    # the state through untouched, which on keyframe-sparse sequences is
+    # most frames) ---------------------------------------------------------
     kf_seq_new = state.map.n_kf           # sequential number of the new kf
-    m2, kf_idx_new = fm.add_keyframe(cfg, m, pose_new, covis)
-    m2 = fm.update_matched_landmarks(
-        cfg, m2, pose_new, feat,
-        gm._replace(valid=matched_lm & is_kf), kf_seq_new)
-    feat_matched_mask = jnp.zeros((feat.capacity,), bool).at[
-        jnp.clip(gm.feat_idx, 0, feat.capacity - 1)].max(matched_lm)
-    # provisioning policy (PUTSLAM.cpp:845-891): add features only when the
-    # visible map or the measurement count is getting thin
-    want_provision = (
-        (gm.n_candidates < cfg.map.add_features_when_map_size_less_than)
-        | (n_matched < cfg.map.add_features_when_measurements_less_than)
-    ) & (jnp.sum(m2.lm_valid) < cfg.map.add_no_features_when_map_size_greater_than)
-    m2 = fm.add_landmarks(cfg, m2, pose_new, feat,
-                          feat_matched_mask | ~(is_kf & want_provision),
-                          kf_seq_new)
-    m = jax.tree.map(lambda a, b: jnp.where(
-        jnp.reshape(is_kf, (1,) * a.ndim), b, a) if a.ndim > 0
-        else jnp.where(is_kf, b, a), m, m2)
+    kf_idx_new = jnp.mod(state.map.n_kf, state.map.kf_pose.shape[0])
 
-    g = state.graph
-    # pose-feature measurements (featuresMap addMeasurements analog): the
-    # measurement is the *observed* 3D point in the camera frame (p_cam)
-    fidx_safe = jnp.clip(gm.feat_idx, 0, feat.capacity - 1)
-    g = graph_mod.add_observations(
-        g, jnp.full((state.map.capacity,), kf_idx_new, jnp.int32),
-        jnp.arange(state.map.capacity, dtype=jnp.int32),
-        p_cam,
-        jnp.full((state.map.capacity,), _obs_info(cfg)),
-        matched_lm & is_kf,
-        gen=m.lm_gen,
-        kf_gen=jnp.full((state.map.capacity,), m.kf_gen[kf_idx_new],
-                        jnp.int32),
-        info=_full_obs_info(cfg, feat.uv_undist[fidx_safe], p_cam))
-    # pose-pose odometry edge between consecutive keyframes
-    rel_kf = se3.relative(state.last_kf_pose, pose_new)
-    add_pp = is_kf & (n_matched < cfg.map.max_measurements_pose_to_pose) \
-        if cfg.map.add_pose_to_pose_edges else jnp.asarray(False)
-    prev_ring = jnp.mod(state.last_kf_idx, m.kf_pose.shape[0])
-    g = graph_mod.add_pose_pose(
-        g, prev_ring, kf_idx_new,
-        rel_kf, jnp.float32(100.0), add_pp,
-        gen_i=m.kf_gen[prev_ring], gen_j=m.kf_gen[kf_idx_new])
+    def do_bookkeeping(operand):
+        m, g = operand
+        m2, _ = fm.add_keyframe(cfg, m, pose_new, covis)
+        m2 = fm.update_matched_landmarks(
+            cfg, m2, pose_new, feat,
+            gm._replace(valid=matched_lm), kf_seq_new)
+        feat_matched_mask = jnp.zeros((feat.capacity,), bool).at[
+            jnp.clip(gm.feat_idx, 0, feat.capacity - 1)].max(matched_lm)
+        # provisioning policy (PUTSLAM.cpp:845-891): add features only when
+        # the visible map or the measurement count is getting thin
+        want_provision = (
+            (gm.n_candidates < cfg.map.add_features_when_map_size_less_than)
+            | (n_matched < cfg.map.add_features_when_measurements_less_than)
+        ) & (jnp.sum(m2.lm_valid)
+             < cfg.map.add_no_features_when_map_size_greater_than)
+        m2 = fm.add_landmarks(cfg, m2, pose_new, feat,
+                              feat_matched_mask | ~want_provision,
+                              kf_seq_new)
+
+        # pose-feature measurements (featuresMap addMeasurements analog):
+        # the measurement is the observed 3D point in the camera frame
+        fidx_safe = jnp.clip(gm.feat_idx, 0, feat.capacity - 1)
+        g = graph_mod.add_observations(
+            g, jnp.full((m.capacity,), kf_idx_new, jnp.int32),
+            jnp.arange(m.capacity, dtype=jnp.int32),
+            p_cam,
+            jnp.full((m.capacity,), _obs_info(cfg)),
+            matched_lm,
+            gen=m2.lm_gen,
+            kf_gen=jnp.full((m.capacity,), m2.kf_gen[kf_idx_new], jnp.int32),
+            info=_full_obs_info(cfg, feat.uv_undist[fidx_safe], p_cam))
+        # pose-pose odometry edge between consecutive keyframes
+        rel_kf = se3.relative(state.last_kf_pose, pose_new)
+        add_pp = (n_matched < cfg.map.max_measurements_pose_to_pose) \
+            if cfg.map.add_pose_to_pose_edges else jnp.asarray(False)
+        prev_ring = jnp.mod(state.last_kf_idx, m.kf_pose.shape[0])
+        g = graph_mod.add_pose_pose(
+            g, prev_ring, kf_idx_new,
+            rel_kf, jnp.float32(100.0), add_pp,
+            gen_i=m2.kf_gen[prev_ring], gen_j=m2.kf_gen[kf_idx_new])
+        return m2, g
+
+    m, g = jax.lax.cond(is_kf, do_bookkeeping, lambda op: op,
+                        (state.map, state.graph))
 
     # ---- 5. periodic bundle adjustment ----------------------------------
     n_kf = m.n_kf
