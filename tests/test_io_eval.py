@@ -138,3 +138,41 @@ def test_tum_dataset_reader(tmp_path, rng):
     assert 0 <= f.gray.min() and f.gray.max() <= 1.0
     sp = ds.starting_pose()
     np.testing.assert_allclose(sp, [0, 0, 0, 1, 0, 0, 0], atol=1e-6)
+
+
+def test_icl_conversion_roundtrip(tmp_path):
+    """ICL prep (prepareDatasetICL.py + convertICLdepthToDepthImage.py
+    analog): synthesize ray-distance dumps from a known z-depth map, convert
+    to a TUM-format sequence, and replay it through TumDataset — the depth
+    must round-trip (ray→z projection + 16-bit quantization)."""
+    import numpy as np
+    from PIL import Image
+
+    from putslam_tpu.io import icl, tum
+
+    H, W = 480, 640
+    rng = np.random.default_rng(3)
+    z_true = rng.uniform(0.8, 4.0, (H, W)).astype(np.float64)
+    # inverse of ray_to_z: d = z * sqrt(f² + du² + dv²) / f
+    u = np.arange(W, dtype=np.float64)[None, :] - icl.ICL_CU
+    v = np.arange(H, dtype=np.float64)[:, None] - icl.ICL_CV
+    dist = z_true * np.sqrt(icl.ICL_FU ** 2 + u * u + v * v) / icl.ICL_FU
+
+    src = tmp_path / "povray"
+    src.mkdir()
+    for i in range(2):
+        np.savetxt(src / f"scene_00_{i:04d}.depth", dist.ravel()[None],
+                   fmt="%.5f")
+        Image.fromarray((rng.uniform(0, 255, (H, W, 3))).astype(np.uint8)
+                        ).save(src / f"scene_00_{i:04d}.png")
+    (src / "traj0.gt.freiburg").write_text("0 0 0 -2.5 0 0 0 1\n")
+
+    out = tmp_path / "tum"
+    n = icl.prepare_icl_sequence(str(src), str(out))
+    assert n == 2
+    ds = tum.TumDataset(str(out))
+    assert len(ds) == 2
+    frame = ds[0]
+    err = np.abs(frame.depth.astype(np.float64) - z_true)
+    assert err.max() < 1.5e-3, err.max()  # 16-bit @5000 quantum = 0.2 mm
+    assert ds.groundtruth is not None
