@@ -69,11 +69,16 @@ def _assemble_obs(bcfg: BackendConfig, kf_pose, lm_pos, lm_valid, g: GraphState,
     if kf_gen is not None:
         gate = gate & (g.obs_kfgen == kf_gen[g.obs_kf])
     if bcfg.use_obs_info and bcfg.error_type == 0:
-        Lw = chol3x3(g.obs_info)                                # (M,3,3)
+        Lw = _whitening_chol(g, kf_pose.dtype)                  # (M,3,3)
         r = jnp.einsum("msr,ms->mr", Lw, r)
         Jp = jnp.einsum("msr,msj->mrj", Lw, Jp)
         Jl = jnp.einsum("msr,msj->mrj", Lw, Jl)
         w_info = gate.astype(kf_pose.dtype)   # info folded into the whitening
+    elif bcfg.error_type == 1:
+        # reprojection residuals are in *pixels*: the stored obs_w carries
+        # metres⁻² information and must not weight them — the pixel-noise
+        # information 1/σ_px² does (edge_se3_pointxyz_reprojectionError.h)
+        w_info = gate.astype(kf_pose.dtype) / (bcfg.obs_pixel_sigma ** 2)
     else:
         w_info = g.obs_w * gate
     sq = w_info * jnp.sum(r * r, axis=-1)
@@ -81,6 +86,19 @@ def _assemble_obs(bcfg: BackendConfig, kf_pose, lm_pos, lm_valid, g: GraphState,
                                   bcfg.robust_delta)
     w = w_info * w_rob
     return r, Jp, Jl, w, sq
+
+
+def _whitening_chol(g: GraphState, dtype):
+    """Per-observation whitening factor L with Info = L·Lᵀ. Observations
+    stored without a full information matrix (obs_info all-zero — e.g. g2o
+    imports or use_uncertainty=False producers) fall back to their scalar
+    weight, √obs_w·I, instead of being silently annihilated by chol(0)."""
+    tr = (g.obs_info[..., 0, 0] + g.obs_info[..., 1, 1]
+          + g.obs_info[..., 2, 2])
+    has_info = tr > 0.0
+    scalar = jnp.sqrt(jnp.maximum(g.obs_w, 0.0))[:, None, None] \
+        * jnp.eye(3, dtype=dtype)
+    return jnp.where(has_info[:, None, None], chol3x3(g.obs_info), scalar)
 
 
 def _pp_weights(bcfg: BackendConfig, g: GraphState, r6, kf_gen=None):
@@ -412,7 +430,7 @@ def gauss_newton_mm(bcfg: BackendConfig,
             & (g.pp_gen_j == kf_gen[g.pp_j])
 
     if bcfg.use_obs_info and bcfg.error_type == 0:
-        Lw = chol3x3(g.obs_info)                                # (M, 3, 3)
+        Lw = _whitening_chol(g, f32)                            # (M, 3, 3)
 
     def do_iteration(carry):
         kf_pose, lm_pos = carry
@@ -425,6 +443,8 @@ def gauss_newton_mm(bcfg: BackendConfig,
             Jp = jnp.einsum("msr,msj->mrj", Lw, Jp)
             Jl = jnp.einsum("msr,msj->mrj", Lw, Jl)
             w_info = gate.astype(f32)
+        elif bcfg.error_type == 1:
+            w_info = gate.astype(f32) / (bcfg.obs_pixel_sigma ** 2)
         else:
             w_info = g.obs_w * gate
         sq = w_info * jnp.sum(r * r, axis=-1)

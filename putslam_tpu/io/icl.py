@@ -38,15 +38,18 @@ ICL_CU = 319.50
 ICL_CV = 239.50
 
 
-def ray_to_z(dist: np.ndarray, fu: float = ICL_FU, cu: float = ICL_CU,
-             cv: float = ICL_CV) -> np.ndarray:
-    """Euclidean ray distance (H, W) → planar z-depth (H, W), vectorized
-    (convertICLdepthToDepthImage.py:22 per-pixel formula)."""
+def ray_to_z(dist: np.ndarray, fu: float = ICL_FU, fv: float = ICL_FV,
+             cu: float = ICL_CU, cv: float = ICL_CV) -> np.ndarray:
+    """Euclidean ray distance (H, W) → planar z-depth (H, W), vectorized:
+    ``z = d / √(1 + ((u−cu)/fu)² + ((v−cv)/fv)²)``. The reference
+    (convertICLdepthToDepthImage.py:22) divides both axes by one focal —
+    a ≤0.06 % corner bias at ICL's fx≈481.2 vs |fy|≈480.0; each axis is
+    normalized by its own focal here."""
     H, W = dist.shape
-    u = np.arange(W, dtype=np.float64)[None, :] - cu
-    v = np.arange(H, dtype=np.float64)[:, None] - cv
-    denom = np.sqrt(fu * fu + u * u + v * v)
-    return (dist * (fu / denom)).astype(np.float32)
+    un = (np.arange(W, dtype=np.float64)[None, :] - cu) / fu
+    vn = (np.arange(H, dtype=np.float64)[:, None] - cv) / abs(fv)
+    denom = np.sqrt(1.0 + un * un + vn * vn)
+    return (dist / denom).astype(np.float32)
 
 
 def read_icl_depth(path: str, width: int = 640, height: int = 480

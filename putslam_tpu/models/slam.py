@@ -503,16 +503,18 @@ def check_trajectory(cfg: SlamConfig, m: fm.MapState,
     if thr <= 0:
         return m.kf_pose, jnp.int32(0)
 
-    # odometry edges between seq-consecutive keyframes, keyed by successor
+    # odometry edges between seq-consecutive keyframes, keyed by successor.
+    # Non-odometry rows scatter into a sacrificial row K that is dropped —
+    # routing them to a real slot would race genuine writes there (XLA
+    # duplicate-index set has an unspecified winner).
     is_odo = (g.pp_valid
               & (m.kf_seq[g.pp_j] == m.kf_seq[g.pp_i] + 1)
               & (g.pp_gen_i == m.kf_gen[g.pp_i])
               & (g.pp_gen_j == m.kf_gen[g.pp_j]))
-    safe_j = jnp.where(is_odo, g.pp_j, K - 1)
-    odo_rel = jnp.tile(se3.identity(), (K, 1))
-    odo_rel = odo_rel.at[safe_j].set(
-        jnp.where(is_odo[:, None], g.pp_rel, odo_rel[safe_j]))
-    has_odo = jnp.zeros((K,), bool).at[safe_j].max(is_odo)
+    safe_j = jnp.where(is_odo, g.pp_j, K)
+    odo_rel = jnp.tile(se3.identity(), (K + 1, 1))
+    odo_rel = odo_rel.at[safe_j].set(g.pp_rel)[:K]
+    has_odo = jnp.zeros((K + 1,), bool).at[safe_j].max(is_odo)[:K]
 
     order = jnp.argsort(jnp.where(m.kf_valid, m.kf_seq,
                                   jnp.iinfo(jnp.int32).max))

@@ -81,11 +81,16 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
                     & (g.obs_gen == lm_gen_l[safe_lm])
                     & (g.obs_kfgen == kf_gen[g.obs_kf]))
             if bcfg.use_obs_info and bcfg.error_type == 0:
-                Lw = chol3x3(g.obs_info)
+                from putslam_tpu.backend.optimize import _whitening_chol
+
+                Lw = _whitening_chol(g, kf_pose.dtype)
                 r = jnp.einsum("msr,ms->mr", Lw, r)
                 Jp = jnp.einsum("msr,msj->mrj", Lw, Jp)
                 Jl = jnp.einsum("msr,msj->mrj", Lw, Jl)
                 w_info = gate.astype(kf_pose.dtype)
+            elif bcfg.error_type == 1:
+                w_info = gate.astype(kf_pose.dtype) \
+                    / (bcfg.obs_pixel_sigma ** 2)
             else:
                 w_info = g.obs_w * gate
             sq = w_info * jnp.sum(r * r, axis=-1)

@@ -144,15 +144,18 @@ def find_cross_session_closures(cfg: SlamConfig, merged: MergedProblem,
     sigs = jnp.stack([s.kf_sig for s in states])                # (B, K, V)
     valid = jnp.stack([s.sig_valid for s in states]) \
         & has_obs.reshape(B, K)                                 # (B, K)
-    S = jnp.einsum("aiv,bjv->abij", sigs, sigs)                 # (B, B, K, K)
-    upper = jnp.arange(B)[:, None] < jnp.arange(B)[None, :]     # a < b only
-    mask = (valid[:, None, :, None] & valid[None, :, None, :]
-            & upper[:, :, None, None])
+    # only the strict upper triangle of session pairs can close (a < b);
+    # B is a trace-time constant, so enumerate the B·(B−1)/2 pairs directly
+    # instead of scoring/verifying all B² ordered pairs
+    pairs = [(a, b) for a in range(B) for b in range(a + 1, B)]
+    S = jnp.stack([sigs[a] @ sigs[b].T for a, b in pairs])      # (P, K, K)
+    mask = jnp.stack([valid[a][:, None] & valid[b][None, :]
+                      for a, b in pairs])
     S = jnp.where(mask, S, -jnp.inf)
 
-    top_v, top_i = jax.lax.top_k(S.reshape(B * B, K * K), top_per_pair)
-    a_idx = (jnp.arange(B * B) // B)[:, None]                   # (B², 1)
-    b_idx = (jnp.arange(B * B) % B)[:, None]
+    top_v, top_i = jax.lax.top_k(S.reshape(len(pairs), K * K), top_per_pair)
+    a_idx = jnp.asarray([a for a, _ in pairs], jnp.int32)[:, None]
+    b_idx = jnp.asarray([b for _, b in pairs], jnp.int32)[:, None]
     ka = (a_idx * K + top_i // K).reshape(-1).astype(jnp.int32)
     kb = (b_idx * K + top_i % K).reshape(-1).astype(jnp.int32)
     cand_ok = (top_v >= min_score).reshape(-1)
@@ -168,9 +171,12 @@ def find_cross_session_closures(cfg: SlamConfig, merged: MergedProblem,
     ka_h, kb_h = np.asarray(ka), np.asarray(kb)
     n_accepted = 0
     for t in np.nonzero(accept)[0]:
+        # stamp the current keyframe-slot generations: without them, joint
+        # BA would mask these edges out for any session whose ring wrapped
         g = graph_mod.add_pose_pose(
             g, jnp.int32(ka_h[t]), jnp.int32(kb_h[t]), jnp.asarray(rel[t]),
-            jnp.float32(200.0), True)
+            jnp.float32(200.0), True,
+            gen_i=merged.kf_gen[ka_h[t]], gen_j=merged.kf_gen[kb_h[t]])
         n_accepted += 1
     return g, n_accepted
 

@@ -30,15 +30,18 @@ import numpy as np
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None,
-                           local_device_ids: Optional[Sequence[int]] = None
-                           ) -> bool:
+                           local_device_ids: Optional[Sequence[int]] = None,
+                           autodetect: bool = False) -> bool:
     """Join (or skip) the multi-process JAX runtime.
 
     Call before any other JAX API in every process. With
-    ``num_processes in (None, 0, 1)`` this is a no-op returning False —
-    single-process runs pay nothing. On TPU pods the arguments can all be
-    None (the TPU runtime autodetects); on CPU/GPU fleets pass them
-    explicitly. Returns True when a multi-process runtime was initialized.
+    ``num_processes in (None, 0, 1)`` and ``autodetect=False`` this is a
+    no-op returning False — single-process runs pay nothing. On TPU pods
+    pass ``autodetect=True`` with no other arguments:
+    ``jax.distributed.initialize()`` is then called argument-free and the
+    TPU runtime discovers the coordinator/topology itself. On CPU/GPU
+    fleets pass the arguments explicitly. Returns True when a multi-process
+    runtime was initialized.
     """
     if num_processes is not None and num_processes <= 1:
         return False
@@ -53,7 +56,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
-    if not kwargs:
+    if not kwargs and not autodetect:
         return False  # nothing to join — stay single-process
     jax.distributed.initialize(**kwargs)
     return True

@@ -153,10 +153,11 @@ def test_icl_conversion_roundtrip(tmp_path):
     H, W = 480, 640
     rng = np.random.default_rng(3)
     z_true = rng.uniform(0.8, 4.0, (H, W)).astype(np.float64)
-    # inverse of ray_to_z: d = z * sqrt(f² + du² + dv²) / f
-    u = np.arange(W, dtype=np.float64)[None, :] - icl.ICL_CU
-    v = np.arange(H, dtype=np.float64)[:, None] - icl.ICL_CV
-    dist = z_true * np.sqrt(icl.ICL_FU ** 2 + u * u + v * v) / icl.ICL_FU
+    # inverse of ray_to_z: d = z · √(1 + ((u−cu)/fu)² + ((v−cv)/fv)²)
+    un = (np.arange(W, dtype=np.float64)[None, :] - icl.ICL_CU) / icl.ICL_FU
+    vn = (np.arange(H, dtype=np.float64)[:, None] - icl.ICL_CV) \
+        / abs(icl.ICL_FV)
+    dist = z_true * np.sqrt(1.0 + un * un + vn * vn)
 
     src = tmp_path / "povray"
     src.mkdir()

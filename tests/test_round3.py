@@ -221,6 +221,24 @@ def test_reprojection_factor_recovers_pose(rng):
     np.testing.assert_allclose(p3[:3], p2[:3], atol=5e-3)
 
 
+def test_reprojection_weights_are_pixel_based(rng):
+    """error_type=1 must weight pixel residuals by 1/obs_pixel_sigma², not
+    by the stored metres⁻² obs_w (which miscalibrates the robust kernel and
+    chi² pruning by orders of magnitude)."""
+    (kf0, kf_gt, kf_valid, lm0, lm_gt, lm_valid, g, fixed) = \
+        _toy_ba_problem(rng)
+    cfg = tiny_test_config()
+    bcfg = dataclasses.replace(cfg.backend, error_type=1,
+                               robust_kernel="none", obs_pixel_sigma=2.0)
+    r, Jp, Jl, w, sq = opt._assemble_obs(bcfg, kf0, lm0, lm_valid, g,
+                                         cam=cfg.camera)
+    w = np.asarray(w)
+    active = w[np.asarray(g.obs_valid)]
+    # stored obs_w is 100.0; pixel weighting must be 1/σ² = 0.25
+    np.testing.assert_allclose(active, 0.25, atol=1e-6)
+    assert r.shape[-1] == 2
+
+
 def test_solvers_agree(rng):
     """The MXU-formulated dense Schur (one-hot matmuls, bf16 curvature) must
     reproduce the scatter-based f32 path and the matrix-free PCG path on the
@@ -366,6 +384,15 @@ def test_check_trajectory_repairs_diverged_keyframe():
                                     gen_j=m.kf_gen[idx])
         prev_idx = idx
         pose = se3.compose(pose, step)
+
+    # a loop-closure (non-odometry) edge and an invalid edge must not leak
+    # into the odometry table (regression: non-odo rows used to scatter
+    # into a real ring slot, racing genuine odometry writes there)
+    K = cfg.map.max_keyframes
+    lc_rel = se3.make_pose(jnp.array([9.0, 9.0, 9.0]), se3.quat_identity())
+    g = graph.add_pose_pose(g, 0, 3, lc_rel, 200.0, True,
+                            gen_i=m.kf_gen[0], gen_j=m.kf_gen[3])
+    g = graph.add_pose_pose(g, K - 1, K - 1, lc_rel, 1.0, False)
 
     # corrupt keyframe 2: a 1 m jump that contradicts its odometry edge
     m_bad = m._replace(kf_pose=m.kf_pose.at[2, 0].add(1.0))
