@@ -77,8 +77,13 @@ def reproj_jacobians(kf_pose, lm_world, fu: float, fv: float
     """Analytic Jacobians of the reprojection residual: the chain of the
     projection Jacobian (2×3) with the 3D-point Jacobians (3×6 / 3×3):
         J_π = [[fu/z, 0, −fu·x/z²], [0, fv/z, −fv·y/z²]]
-    (matches the hand-derived linearizeOplus of the reference edge,
-    edge_se3_pointxyz_reprojectionError.cpp)."""
+    Standard pinhole-projection chain, validated against autodiff
+    (tests/test_backend.py). Note: the reference edge's hand-derived
+    linearizeOplus is commented out (it falls back to numeric
+    differentiation), and its computeError uses the homogeneous w2i product
+    without z-normalization — this implementation deliberately uses the
+    conventional normalized projection residual instead
+    (edge_se3_pointxyz_reprojectionError.cpp)."""
     p_cam = se3.apply(se3.inverse(kf_pose), lm_world)
     x, y = p_cam[..., 0], p_cam[..., 1]
     z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-6, 1e-6, p_cam[..., 2])

@@ -29,8 +29,9 @@ class GraphState(NamedTuple):
     obs_w: jnp.ndarray      # (M,) float32 scalar information weight
     obs_gen: jnp.ndarray    # (M,) int32 landmark-slot generation at insert time
     obs_kfgen: jnp.ndarray  # (M,) int32 keyframe-slot generation at insert time
+    obs_seq: jnp.ndarray    # (M,) int32 append sequence number (age ordering)
     obs_valid: jnp.ndarray  # (M,) bool
-    n_obs: jnp.ndarray      # () int32 total ever appended (write cursor)
+    n_obs: jnp.ndarray      # () int32 total ever appended (append counter)
     # --- full 3×3 information matrices (use_uncertainty path; all-zero and
     # ignored when the engine runs with scalar weights) ---------------------
     obs_info: jnp.ndarray   # (M, 3, 3) float32
@@ -63,6 +64,7 @@ def init_graph(max_observations: int, max_pose_pose: int,
         obs_w=jnp.zeros((M,), dtype),
         obs_gen=jnp.zeros((M,), jnp.int32),
         obs_kfgen=jnp.zeros((M,), jnp.int32),
+        obs_seq=jnp.zeros((M,), jnp.int32),
         obs_valid=jnp.zeros((M,), bool),
         n_obs=jnp.int32(0),
         obs_info=jnp.zeros((M, 3, 3), dtype),
@@ -79,10 +81,13 @@ def init_graph(max_observations: int, max_pose_pose: int,
 
 def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
                      gen=None, kf_gen=None, info=None) -> GraphState:
-    """Append up to len(mask) observations (masked). Slots are assigned at
-    the write cursor modulo capacity (ring; old entries overwritten only
-    after capacity wraps — mirrors the bounded optimization window of
-    marginalizeMeasurements, featuresMap.cpp:1056-1104).
+    """Append up to len(mask) observations (masked). Slot assignment prefers
+    *dead* slots — invalid (pruned / stale-generation edges cleared by
+    ``reclaim_observation_slots``) first, then the oldest valid entries in
+    append order (FIFO). The reference's marginalization likewise chooses
+    what dies by liveness, never blindly (featuresMap.cpp:1056-1104): a
+    wrapped store must not overwrite active-window edges while recycled
+    slots sit dead.
 
     ``gen`` / ``kf_gen``: slot generations of the referenced landmark /
     keyframe at insert time — BA masks out any edge whose referenced slot has
@@ -90,9 +95,15 @@ def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
     matrices (useUncertainty mode, depthSensorModel.cpp:48-59)."""
     M = g.obs_capacity
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    slot = jnp.mod(g.n_obs + rank, M)
-    safe_slot = jnp.where(mask, slot, M)  # M = out-of-range drop via clip
-    safe_slot = jnp.clip(safe_slot, 0, M - 1)
+    # allocation order: invalid slots first (key −1), then oldest by append
+    # sequence — one argsort over the store per call (keyframe steps only)
+    key = jnp.where(g.obs_valid, g.obs_seq, -1)
+    order = jnp.argsort(key).astype(jnp.int32)                # (M,)
+    slot = order[jnp.clip(rank, 0, M - 1)]
+    # unmasked lanes write to index M: out-of-bounds scatters are *dropped*
+    # (JAX .at default mode) — clipping them to M−1 instead would race a
+    # genuine masked write targeting that slot (unspecified winner)
+    safe_slot = jnp.where(mask, slot, M)
     if info is None:
         info = jnp.zeros(xyz.shape[:-1] + (3, 3), g.obs_info.dtype)
     return g._replace(
@@ -111,10 +122,25 @@ def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
                       g.obs_kfgen[safe_slot])),
         obs_info=g.obs_info.at[safe_slot].set(
             jnp.where(mask[:, None, None], info, g.obs_info[safe_slot])),
+        obs_seq=g.obs_seq.at[safe_slot].set(
+            jnp.where(mask, g.n_obs + rank, g.obs_seq[safe_slot])),
         obs_valid=g.obs_valid.at[safe_slot].set(
             jnp.where(mask, True, g.obs_valid[safe_slot])),
         n_obs=g.n_obs + jnp.sum(mask.astype(jnp.int32)),
     )
+
+
+def reclaim_observation_slots(g: GraphState, lm_gen, kf_gen) -> GraphState:
+    """Clear the valid bit on edges whose referenced landmark or keyframe
+    slot has been recycled since insertion (stale generation). BA already
+    masks these out of the normal equations every call — clearing the mask
+    additionally returns their slots to the allocator, so a wrapping store
+    reuses dead capacity instead of overwriting live active-window edges
+    (the reference's marginalization frees graph memory the same way,
+    graph_g2o.cpp:1128-1177)."""
+    fresh = (g.obs_gen == lm_gen[g.obs_lm]) \
+        & (g.obs_kfgen == kf_gen[g.obs_kf])
+    return g._replace(obs_valid=g.obs_valid & fresh)
 
 
 def add_pose_pose(g: GraphState, i, j, rel, weight, valid=True,

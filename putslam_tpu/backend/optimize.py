@@ -415,8 +415,39 @@ def gauss_newton_mm(bcfg: BackendConfig,
     f32 = kf_pose.dtype
     fu, fv = (cam.fu, cam.fv) if cam is not None else (525.0, 525.0)
 
-    # K-side one-hot segment-sum operator: loop-invariant, built once
-    Pf = jax.nn.one_hot(g.obs_kf, K, dtype=f32)                 # (M, K)
+    # --- active-window compaction (static): gather the ≤W free keyframes
+    # into a compact block so every camera-side product and the Cholesky run
+    # at (6·W)² instead of (6·K)². Frozen keyframes' observations still
+    # flow into H_ll / b_l (landmark anchoring — the window's gauge), and
+    # their rows of the camera system never existed to begin with (the
+    # full-K path built them and then masked them to identity).
+    # The reference optimizes the active subgraph the same way: everything
+    # outside the marginalization window is a fixed vertex
+    # (graph_g2o.cpp:873-933, featuresMap.cpp:1043-1104).
+    windowed = 0 < bcfg.ba_window < K
+    KC = bcfg.ba_window if windowed else K                      # compact dim
+    frozen_full = fixed_kf | ~kf_valid                          # (K,)
+    if windowed:
+        free = ~frozen_full
+        sel = jnp.nonzero(free, size=KC, fill_value=K)[0]       # (KC,)
+        comp_of = jnp.full((K + 1,), KC, jnp.int32).at[sel].set(
+            jnp.arange(KC, dtype=jnp.int32))[:K]                # (K,) → [0,KC]
+        ck_obs = comp_of[g.obs_kf]                              # KC = dropped
+        cpp_i = comp_of[g.pp_i]
+        cpp_j = comp_of[g.pp_j]
+        # compact slots left unpaired (fewer free keyframes than W)
+        dead_c = sel >= K                                       # (KC,)
+    else:
+        sel = jnp.arange(K, dtype=jnp.int32)
+        ck_obs = g.obs_kf
+        cpp_i = g.pp_i
+        cpp_j = g.pp_j
+        dead_c = frozen_full
+
+    # compact-side one-hot segment-sum operator: loop-invariant, built once;
+    # the sentinel column KC (dropped/frozen rows) is sliced away so those
+    # observations contribute nothing to the camera system
+    Pf = jax.nn.one_hot(ck_obs, KC + 1, dtype=f32)[:, :KC]      # (M, KC)
 
     gate = g.obs_valid & lm_valid[g.obs_lm]
     if lm_gen is not None:
@@ -459,12 +490,13 @@ def gauss_newton_mm(bcfg: BackendConfig,
         bp = -jnp.einsum("m,mri,mr->mi", w, Jp, r)              # (M, 6)
         bl = -jnp.einsum("m,mri,mr->mi", w, Jl, r)              # (M, 3)
 
-        # K-side segment sums as one (K, M)×(M, 42) matmul (exact: one-hot
-        # rows have a single 1.0; K is small so this is ~free on the MXU)
+        # camera-side segment sums as one (KC, M)×(M, 42) matmul (exact:
+        # one-hot rows have a single 1.0; KC is small so this is ~free on
+        # the MXU)
         k_pack = jnp.concatenate([JpT_Jp.reshape(M, 36), bp], axis=1)
         k_sums = jax.lax.dot_general(
-            Pf, k_pack, dimension_numbers=(((0,), (0,)), ((), ())))  # (K, 42)
-        H_cc_diag = k_sums[:, :36].reshape(K, 6, 6)
+            Pf, k_pack, dimension_numbers=(((0,), (0,)), ((), ())))  # (KC, 42)
+        H_cc_diag = k_sums[:, :36].reshape(KC, 6, 6)
         b_c = k_sums[:, 36:42]
         # L-side segment sums: one fused scatter-add (12 lanes per row)
         l_pack = jnp.concatenate([JlT_Jl.reshape(M, 9), bl], axis=1)
@@ -472,7 +504,11 @@ def gauss_newton_mm(bcfg: BackendConfig,
         H_ll = l_sums[:, :9].reshape(L, 3, 3)
         b_l = l_sums[:, 9:12]
 
-        # --- pose-pose edges (E is small; scatter into (K,K,6,6) is fine) -
+        # --- pose-pose edges (E is small; scatter into a compact
+        # (KC+1,KC+1,6,6) buffer — the sentinel row/col KC swallows frozen
+        # endpoints and is sliced away; a frozen endpoint still pushes its
+        # gradient/curvature into the *free* endpoint's block, i.e. the
+        # edge acts as a prior anchored at the frozen pose) ----------------
         pi = kf_pose[g.pp_i]
         pj = kf_pose[g.pp_j]
         r6 = factors.pp_residual(pi, pj, g.pp_rel)
@@ -482,14 +518,17 @@ def gauss_newton_mm(bcfg: BackendConfig,
         wpp = wpp_info * factors.robust_weight(sq_pp, bcfg.robust_kernel,
                                                bcfg.robust_delta)
         chi2 = chi2 + jnp.sum(sq_pp)
-        H_cc = jnp.zeros((K, K, 6, 6), f32)
-        H_cc = H_cc.at[jnp.arange(K), jnp.arange(K)].add(H_cc_diag)
-        H_cc = H_cc.at[g.pp_i, g.pp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji))
-        H_cc = H_cc.at[g.pp_j, g.pp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj))
-        H_cc = H_cc.at[g.pp_i, g.pp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Jj))
-        H_cc = H_cc.at[g.pp_j, g.pp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Ji))
-        b_c = b_c.at[g.pp_i].add(-jnp.einsum("e,eri,er->ei", wpp, Ji, r6))
-        b_c = b_c.at[g.pp_j].add(-jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
+        H_cc = jnp.zeros((KC + 1, KC + 1, 6, 6), f32)
+        H_cc = H_cc.at[jnp.arange(KC), jnp.arange(KC)].add(H_cc_diag)
+        H_cc = H_cc.at[cpp_i, cpp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Ji))
+        H_cc = H_cc.at[cpp_j, cpp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Jj))
+        H_cc = H_cc.at[cpp_i, cpp_j].add(jnp.einsum("e,eri,erj->eij", wpp, Ji, Jj))
+        H_cc = H_cc.at[cpp_j, cpp_i].add(jnp.einsum("e,eri,erj->eij", wpp, Jj, Ji))
+        H_cc = H_cc[:KC, :KC]
+        b_cp = jnp.zeros((KC + 1, 6), f32)
+        b_cp = b_cp.at[cpp_i].add(-jnp.einsum("e,eri,er->ei", wpp, Ji, r6))
+        b_cp = b_cp.at[cpp_j].add(-jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
+        b_c = b_c + b_cp[:KC]
 
         # --- landmark elimination ----------------------------------------
         tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
@@ -498,41 +537,51 @@ def gauss_newton_mm(bcfg: BackendConfig,
         Linv = chol3x3(H_ll_inv)                                # (L, 3, 3)
 
         # whitened coupling F = C · Linv[lm]  (so G·Gᵀ = H_cl·H_ll⁻¹·H_clᵀ)
+        # — frozen observations carry sentinel index KC, whose one-hot row
+        # is all-zero, so they drop out of the camera-side coupling while
+        # still having fed H_ll / b_l above (landmark anchoring)
         F = jnp.einsum("mia,mab->mib", C, Linv[g.obs_lm])       # (M, 6, 3)
-        S_sub = schur_subtrahend_mm(g.obs_kf, g.obs_lm, F, K, L)
-        S = H_cc.transpose(0, 2, 1, 3).reshape(K * 6, K * 6) - S_sub
+        S_sub = schur_subtrahend_mm(ck_obs, g.obs_lm, F, KC, L)
+        S = H_cc.transpose(0, 2, 1, 3).reshape(KC * 6, KC * 6) - S_sub
 
         # exact f32 gradient of the reduced system
         t = jnp.einsum("lab,lb->la", H_ll_inv, b_l)             # (L, 3)
         c_m = jnp.einsum("mia,ma->mi", C, t[g.obs_lm])          # (M, 6)
         b_red = (b_c - jax.lax.dot_general(
             Pf, c_m, dimension_numbers=(((0,), (0,)), ((), ())))
-        ).reshape(K * 6)
+        ).reshape(KC * 6)
 
         # --- gauge fixing + solve (same robustness contract as the
-        # scatter path) ----------------------------------------------------
-        frozen = fixed_kf | ~kf_valid
-        frozen6 = jnp.repeat(frozen, 6)
+        # scatter path). dead_c: unpaired compact slots (windowed) or
+        # frozen/invalid keyframes (full-K) — identity rows. ---------------
+        frozen6 = jnp.repeat(dead_c, 6)
         S = jnp.where(frozen6[:, None] | frozen6[None, :], 0.0, S)
         S = S + jnp.diag(frozen6.astype(S.dtype))
         S = 0.5 * (S + S.T)
         max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(S))), 1.0)
-        S = S + (lam * max_diag) * jnp.eye(K * 6, dtype=S.dtype)
+        S = S + (lam * max_diag) * jnp.eye(KC * 6, dtype=S.dtype)
         b_red = jnp.where(frozen6, 0.0, b_red)
         dc = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(S, lower=True), b_red)
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
         dc = jnp.where(jnp.all(jnp.abs(dc) < 1e3), dc, 0.0)
-        dc_mat = dc.reshape(K, 6)
+        dc_mat = dc.reshape(KC, 6)
+
+        # scatter the compact step back onto the full keyframe axis (frozen
+        # rows read zero — their poses stay put by construction)
+        if windowed:
+            dc_full = jnp.zeros((K + 1, 6), f32).at[sel].set(dc_mat)[:K]
+        else:
+            dc_full = dc_mat
 
         # --- landmark back-substitution: δl = H_ll⁻¹ (b_l − H_lc δc) ------
-        u_m = jnp.einsum("mia,mi->ma", C, dc_mat[g.obs_kf])     # (M, 3)
+        u_m = jnp.einsum("mia,mi->ma", C, dc_full[g.obs_kf])    # (M, 3)
         Hlc_dc = jnp.zeros((L, 3), f32).at[g.obs_lm].add(u_m)
         dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
         dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
 
-        new_pose = se3.retract(kf_pose, dc_mat)
-        new_pose = jnp.where(frozen[:, None], kf_pose, new_pose)
+        new_pose = se3.retract(kf_pose, dc_full)
+        new_pose = jnp.where(frozen_full[:, None], kf_pose, new_pose)
         moved = lm_valid & (jnp.abs(dl).max(axis=-1) < 1e3)
         new_lm = jnp.where(moved[:, None], lm_pos + dl, lm_pos)
         return (new_pose, new_lm), chi2

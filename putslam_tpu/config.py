@@ -189,6 +189,14 @@ class BackendConfig:
     # "pcg" — matrix-free block-Jacobi CG (the reference's LinearSolverPCG
     #   architecture, graph_g2o.cpp:35 — for maps too large to densify).
     solver: str = "dense_schur_mm"
+    # Active-window compaction for the in-loop dense_schur_mm solver: the
+    # ≤ ba_window free (non-fixed, valid) keyframes are gathered into a
+    # compact block so the reduced camera system is (6·W)² instead of
+    # (6·K)² — the reference optimizes the active subgraph only
+    # (graph_g2o.cpp:873-933 with marginalization fixing the rest); frozen
+    # keyframes keep anchoring landmarks through H_ll/b_l exactly as
+    # before. 0 disables (full-K system — used by the end-of-run finalize).
+    ba_window: int = 64
     pcg_iterations: int = 64
     pcg_tol: float = 1e-6
     damping: float = 1e-5                 # LM-style relative diagonal damping

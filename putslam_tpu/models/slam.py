@@ -33,6 +33,7 @@ from putslam_tpu.geometry import uncertainty as uncertainty_mod
 from putslam_tpu.loopclosure import bow
 from putslam_tpu.loopclosure import verify as lc_verify
 from putslam_tpu.models import vo as vo_mod
+from putslam_tpu.motion import ekf as ekf_mod
 from putslam_tpu.slam_map import features_map as fm
 
 
@@ -51,6 +52,9 @@ class SlamState(NamedTuple):
     sig_valid: jnp.ndarray   # (K,) bool
     lc_queue: bow.LCQueue    # candidate priority buffer
     n_lc_edges: jnp.ndarray  # () int32 accepted loop closures
+    # --- decaying-velocity EKF (predict/correct only when
+    # cfg.motion_model.enabled; otherwise carried through untouched) -------
+    ekf: ekf_mod.EKFState
 
 
 class SlamOutputs(NamedTuple):
@@ -114,6 +118,7 @@ def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
         sig_valid=jnp.zeros((K,), bool).at[kf_idx].set(True),
         lc_queue=bow.init_queue(cfg.loop_closure.queue_capacity),
         n_lc_edges=jnp.int32(0),
+        ekf=ekf_mod.init(cfg.motion_model, init_pose),
     )
 
 
@@ -162,9 +167,20 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
             se3.identity(), jnp.int32(0), jnp.int32(0), jnp.float32(1.0),
             jnp.asarray(True))
         pose_pred = gt_pose
+        ekf_pred = state.ekf
     else:
         vo_res = vo_mod.vo_step(cfg, k_vo, state.prev_feat, feat)
         pose_pred = se3.compose(state.pose, vo_res.rel_pose)
+        ekf_pred = state.ekf
+        if cfg.motion_model.enabled:
+            # decaying-velocity prior (decayingVelocityModel.cpp:28-40,
+            # wiring point PUTSLAM.cpp:329-332): when frame-to-frame VO
+            # fails (identity fallback), the EKF's constant-velocity
+            # prediction replaces the dead-stop prior — guided matching
+            # then searches around where the camera most likely IS
+            ekf_pred = ekf_mod.predict(cfg.motion_model, state.ekf, 1.0)
+            prior = ekf_mod.predicted_pose(ekf_pred)
+            pose_pred = jnp.where(vo_res.ok, pose_pred, prior)
 
     # ---- 2. guided map matching (matchXYZ) + absolute pose RANSAC -------
     # retry ladder (PUTSLAM.cpp:788-798): when the map RANSAC comes back
@@ -255,7 +271,11 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
                               kf_seq_new)
 
         # pose-feature measurements (featuresMap addMeasurements analog):
-        # the measurement is the observed 3D point in the camera frame
+        # the measurement is the observed 3D point in the camera frame.
+        # Reclaim dead slots first (stale-generation edges from recycled
+        # landmark/keyframe slots) so a wrapped store reuses them instead of
+        # overwriting live active-window edges.
+        g = graph_mod.reclaim_observation_slots(g, m2.lm_gen, m2.kf_gen)
         fidx_safe = jnp.clip(gm.feat_idx, 0, feat.capacity - 1)
         g = graph_mod.add_observations(
             g, jnp.full((m.capacity,), kf_idx_new, jnp.int32),
@@ -288,8 +308,14 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     def run_ba(operand):
         m_in, g_in = operand
         # gauge: oldest in-window keyframe; plus freeze everything beyond
-        # the active window (map compression, featuresMap.cpp:1056-1104)
-        fixed = fm.active_window_fixed(m_in, cfg.map.max_frames_window)
+        # the active window (map compression, featuresMap.cpp:1056-1104).
+        # The window is additionally clamped to the solver's compaction
+        # capacity so the compact gather never overflows (older keyframes
+        # would be silently frozen by the solver anyway).
+        window = cfg.map.max_frames_window
+        if 0 < cfg.backend.ba_window < cfg.map.max_keyframes:
+            window = min(window, cfg.backend.ba_window)
+        fixed = fm.active_window_fixed(m_in, window)
         fixed = fixed.at[0].set(True)
         res = opt_mod.optimize_graph(
             cfg.backend, m_in.kf_pose, m_in.kf_valid,
@@ -314,7 +340,12 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         key, k_lc = jax.random.split(key)
         vocab = bow.make_vocab(cfg.loop_closure.vocab_size)
         sig = bow.signature(vocab, feat.desc, feat.valid)
-        scores = bow.score_against(kf_sig, sig, sig_valid)
+        # the slot this keyframe would recycle still holds the *evicted*
+        # keyframe's signature — exclude it from scoring (and the idf
+        # document statistics) rather than letting a stale document bias
+        # the tf-idf weights
+        scores = bow.score_against(kf_sig, sig,
+                                   sig_valid.at[kf_idx_new].set(False))
         lc_queue2 = bow.push_candidates(
             lc_queue, kf_idx_new, scores, m.kf_seq, m.n_kf,
             cfg.loop_closure.tail_skip, cfg.loop_closure.min_probability)
@@ -367,6 +398,16 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     pose_out = se3.compose(kf_pose_after,
                            se3.compose(se3.inverse(kf_pose_before), pose_new))
 
+    # EKF measurement update with the accepted frame pose (correct,
+    # decayingVelocityModel.cpp:43-121); a fully-failed frame keeps the
+    # prediction so velocity coasts instead of being yanked to a junk pose
+    ekf_new = ekf_pred
+    if cfg.motion_model.enabled and not playback:
+        accepted = vo_res.ok | map_ok
+        ekf_corr = ekf_mod.correct(cfg.motion_model, ekf_pred, pose_out)
+        ekf_new = jax.tree.map(
+            lambda a, b: jnp.where(accepted, a, b), ekf_corr, ekf_pred)
+
     state_new = SlamState(
         map=m, graph=g, prev_feat=feat, pose=pose_out,
         last_kf_idx=jnp.where(is_kf, kf_idx_new, state.last_kf_idx),
@@ -375,7 +416,7 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         frame_idx=state.frame_idx + 1,
         key=key,
         kf_sig=kf_sig, sig_valid=sig_valid, lc_queue=lc_queue,
-        n_lc_edges=n_lc,
+        n_lc_edges=n_lc, ekf=ekf_new,
     )
     outs = SlamOutputs(
         pose=pose_out, vo_ok=vo_res.ok, map_ok=map_ok,
@@ -455,8 +496,11 @@ def finalize(cfg: SlamConfig, state: SlamState) -> SlamState:
     import dataclasses
 
     m, g = state.map, state.graph
+    # full-graph pass: every keyframe is free, so the active-window
+    # compaction must be off (ba_window=0 → full-K camera system)
     bcfg = dataclasses.replace(cfg.backend,
-                               gn_iterations=cfg.backend.final_gn_iterations)
+                               gn_iterations=cfg.backend.final_gn_iterations,
+                               ba_window=0)
 
     # removeWeakFeatures (graph_g2o.cpp:1440): landmarks observed fewer than
     # final_min_obs times carry no triangulation redundancy — drop them
@@ -506,15 +550,25 @@ def check_trajectory(cfg: SlamConfig, m: fm.MapState,
     # odometry edges between seq-consecutive keyframes, keyed by successor.
     # Non-odometry rows scatter into a sacrificial row K that is dropped —
     # routing them to a real slot would race genuine writes there (XLA
-    # duplicate-index set has an unspecified winner).
+    # duplicate-index set has an unspecified winner). When several valid
+    # odometry edges share a successor (same consecutive pair re-appended),
+    # only the *newest* by ring append order writes: slot age relative to
+    # the write cursor is a bijection over slots, so the min-age winner per
+    # successor is unique and the duplicate-index set never races.
+    E = g.pp_capacity
     is_odo = (g.pp_valid
               & (m.kf_seq[g.pp_j] == m.kf_seq[g.pp_i] + 1)
               & (g.pp_gen_i == m.kf_gen[g.pp_i])
               & (g.pp_gen_j == m.kf_gen[g.pp_j]))
-    safe_j = jnp.where(is_odo, g.pp_j, K)
+    age = jnp.mod(g.n_pp - 1 - jnp.arange(E, dtype=jnp.int32), E)
+    key_j = jnp.where(is_odo, g.pp_j, K)
+    best_age = jnp.full((K + 1,), E, jnp.int32).at[key_j].min(
+        jnp.where(is_odo, age, E))
+    winner = is_odo & (age == best_age[key_j])
+    safe_j = jnp.where(winner, g.pp_j, K)
     odo_rel = jnp.tile(se3.identity(), (K + 1, 1))
     odo_rel = odo_rel.at[safe_j].set(g.pp_rel)[:K]
-    has_odo = jnp.zeros((K + 1,), bool).at[safe_j].max(is_odo)[:K]
+    has_odo = jnp.zeros((K + 1,), bool).at[safe_j].max(winner)[:K]
 
     order = jnp.argsort(jnp.where(m.kf_valid, m.kf_seq,
                                   jnp.iinfo(jnp.int32).max))

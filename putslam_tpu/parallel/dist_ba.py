@@ -137,7 +137,7 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
                 -jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
 
             # --- local Schur contribution + ICI reduction -----------------
-            # MXU coupling build (optimize.coupling_mm) — rows for edges not
+            # MXU coupling build (optimize.schur_subtrahend_mm) — rows for edges not
             # owned by this shard vanish because w (hence C/F) is 0 there
             tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
             H_ll_inv = inv3x3(

@@ -75,6 +75,7 @@ def merge_sessions(cfg: SlamConfig, states) -> MergedProblem:
         obs_w=jnp.concatenate([s.graph.obs_w for s in states]),
         obs_gen=jnp.concatenate([s.graph.obs_gen for s in states]),
         obs_kfgen=jnp.concatenate([s.graph.obs_kfgen for s in states]),
+        obs_seq=jnp.concatenate([s.graph.obs_seq for s in states]),
         obs_valid=jnp.concatenate([s.graph.obs_valid for s in states]),
         n_obs=sum((s.graph.n_obs for s in states), jnp.int32(0)),
         obs_info=jnp.concatenate([s.graph.obs_info for s in states]),

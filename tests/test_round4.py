@@ -1,0 +1,224 @@
+"""Round-4 features: BA active-window compaction, obs-slot reclamation,
+motion-model wiring, disk-based TUM pipeline pieces."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from putslam_tpu.backend import graph, optimize
+from putslam_tpu.config import BackendConfig
+from putslam_tpu.geometry import se3
+
+from test_backend import build_problem
+
+
+def _mm_cfg(**kw):
+    base = dict(gn_iterations=6, robust_kernel="none", damping=1e-5,
+                solver="dense_schur_mm", chi2_ratio_termination=1.0)
+    base.update(kw)
+    return BackendConfig(**base)
+
+
+def test_windowed_mm_matches_full_when_window_covers_free(rng):
+    """With every free keyframe inside the compaction window, the windowed
+    solver must reproduce the full-K dense_schur_mm solution bit-for-bit in
+    spirit (same frozen set, same reduced system up to row permutation)."""
+    K = 12
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(
+        rng, K=K, L=96, obs_per_kf=48, noise=0.002)
+    kf_valid = jnp.ones((K,), bool)
+    lm_valid = jnp.ones((lm_init.shape[0],), bool)
+    # freeze the oldest 4 (window fixing) + gauge
+    fixed = jnp.zeros((K,), bool).at[jnp.arange(4)].set(True)
+
+    res_full = optimize.gauss_newton_mm(
+        _mm_cfg(ba_window=0), jnp.asarray(kf_init), kf_valid,
+        jnp.asarray(lm_init), lm_valid, g, fixed)
+    res_win = optimize.gauss_newton_mm(
+        _mm_cfg(ba_window=8), jnp.asarray(kf_init), kf_valid,
+        jnp.asarray(lm_init), lm_valid, g, fixed)
+
+    np.testing.assert_allclose(np.asarray(res_win.kf_pose),
+                               np.asarray(res_full.kf_pose), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_win.lm_pos),
+                               np.asarray(res_full.lm_pos), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_win.chi2),
+                               np.asarray(res_full.chi2), rtol=1e-3)
+    # frozen poses untouched
+    np.testing.assert_array_equal(np.asarray(res_win.kf_pose)[:4],
+                                  kf_init[:4])
+
+
+def test_windowed_mm_converges_toward_truth(rng):
+    """Windowed BA with frozen history must still pull the free keyframes
+    toward ground truth (frozen observations anchor landmarks → gauge)."""
+    K = 12
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(
+        rng, K=K, L=96, obs_per_kf=48, noise=0.0, pose_noise=0.03)
+    kf_valid = jnp.ones((K,), bool)
+    lm_valid = jnp.ones((lm_init.shape[0],), bool)
+    # freeze the first 6 at their TRUE poses (a converged prefix)
+    kf_init2 = kf_init.copy()
+    kf_init2[:6] = kf_true[:6]
+    fixed = jnp.zeros((K,), bool).at[jnp.arange(6)].set(True)
+    res = optimize.gauss_newton_mm(
+        _mm_cfg(ba_window=6, gn_iterations=8), jnp.asarray(kf_init2),
+        kf_valid, jnp.asarray(lm_init), lm_valid, g, fixed)
+    err = np.linalg.norm(
+        np.asarray(res.kf_pose)[6:, :3] - kf_true[6:, :3], axis=-1)
+    init_err = np.linalg.norm(kf_init2[6:, :3] - kf_true[6:, :3], axis=-1)
+    assert err.max() < 0.05 * init_err.max(), (err.max(), init_err.max())
+    chi = np.asarray(res.chi2)
+    assert chi[-1] < chi[0]
+
+
+def test_windowed_mm_overflow_freezes_oldest_slots(rng):
+    """More free keyframes than the window: the solver silently freezes the
+    surplus (first-W free slots win) instead of corrupting the system."""
+    K = 12
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(
+        rng, K=K, L=96, obs_per_kf=48, noise=0.002)
+    kf_valid = jnp.ones((K,), bool)
+    lm_valid = jnp.ones((lm_init.shape[0],), bool)
+    fixed = jnp.zeros((K,), bool).at[0].set(True)   # 11 free > window 4
+    res = optimize.gauss_newton_mm(
+        _mm_cfg(ba_window=4), jnp.asarray(kf_init), kf_valid,
+        jnp.asarray(lm_init), lm_valid, g, fixed)
+    out = np.asarray(res.kf_pose)
+    assert np.all(np.isfinite(out))
+    # slots 1..4 are the first four free → optimized; 5.. stay frozen
+    assert np.abs(out[5:] - kf_init[5:]).max() < 1e-12
+    assert np.abs(out[1:5] - kf_init[1:5]).max() > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# observation-slot reclamation (obs-store wrap soundness)
+# ---------------------------------------------------------------------------
+
+
+def _add_batch(g, kf, lm_indices, xyz, gen=None, kfgen=None):
+    n = len(lm_indices)
+    return graph.add_observations(
+        g, jnp.full((n,), kf, jnp.int32),
+        jnp.asarray(lm_indices, jnp.int32), jnp.asarray(xyz, jnp.float32),
+        jnp.ones((n,), jnp.float32), jnp.ones((n,), bool),
+        gen=None if gen is None else jnp.asarray(gen, jnp.int32),
+        kf_gen=None if kfgen is None else jnp.asarray(kfgen, jnp.int32))
+
+
+def test_allocator_prefers_dead_slots_over_live_edges():
+    """A wrapped store must consume invalid (pruned/stale) slots before
+    overwriting valid in-window edges."""
+    M = 8
+    g = graph.init_graph(M, 4)
+    g = _add_batch(g, 0, range(8), np.zeros((8, 3)))      # fill all 8
+    # prune slots holding lm 2,5 (dead capacity)
+    drop = np.zeros(M, bool)
+    drop[np.isin(np.asarray(g.obs_lm), [2, 5])] = True
+    g = graph.prune_observations(g, jnp.asarray(drop))
+    # add 2 more → must land exactly in the two dead slots
+    g2 = _add_batch(g, 1, [10, 11], np.ones((2, 3)))
+    still_there = np.asarray(g2.obs_lm)[np.asarray(g.obs_valid)]
+    for lm in (0, 1, 3, 4, 6, 7):
+        assert lm in still_there, (lm, np.asarray(g2.obs_lm))
+    assert set(np.asarray(g2.obs_lm)[~np.asarray(g.obs_valid)]) == {10, 11}
+    assert bool(np.all(np.asarray(g2.obs_valid)))
+
+
+def test_allocator_overflow_evicts_oldest_first():
+    """With no dead slots, overwriting follows append order (FIFO)."""
+    M = 8
+    g = graph.init_graph(M, 4)
+    g = _add_batch(g, 0, range(8), np.zeros((8, 3)))
+    g = _add_batch(g, 1, [100, 101, 102], np.ones((3, 3)))
+    lm = set(np.asarray(g.obs_lm).tolist())
+    # oldest three (0,1,2) evicted, rest retained
+    assert lm == {3, 4, 5, 6, 7, 100, 101, 102}, lm
+
+
+def test_reclaim_clears_stale_generation_edges():
+    M = 8
+    g = graph.init_graph(M, 4)
+    g = _add_batch(g, 0, range(4), np.zeros((4, 3)),
+                   gen=[1, 1, 2, 1], kfgen=[0, 0, 0, 0])
+    lm_gen = jnp.asarray([1, 1, 1, 1, 1, 1, 1, 1], jnp.int32)  # lm 2 recycled
+    kf_gen = jnp.zeros((4,), jnp.int32)
+    g2 = graph.reclaim_observation_slots(g, lm_gen, kf_gen)
+    v = np.asarray(g2.obs_valid)
+    assert v.sum() == 3
+    assert not v[np.asarray(g.obs_lm)[:4].tolist().index(2)]
+
+
+def test_slam_survives_obs_ring_wrap():
+    """Full engine on a tiny obs store that wraps mid-run: active-window
+    edges must survive (BA stays finite and the map stays consistent)."""
+    from putslam_tpu.config import tiny_test_config
+    from putslam_tpu.io import synthetic
+    from putslam_tpu.models import slam as slam_mod
+    from putslam_tpu.eval import ate
+    import dataclasses as dc
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(
+        backend=dc.replace(cfg.backend, max_observations=160,
+                           optimize_every_n_frames=3),
+        map=dc.replace(cfg.map, covisibility_keyframe=2.0))  # keyframe every frame
+    poses = synthetic.orbit_trajectory(24, radius=0.06, yaw_amp=0.08)
+    grays, depths = synthetic.render_sequence(cfg.camera, poses)
+    est, outs, st = slam_mod.run_slam(cfg, grays, depths,
+                                      init_pose=jnp.asarray(poses[0]))
+    # the store wrapped: more observations appended than capacity
+    assert int(np.asarray(st.graph.n_obs)) > 160
+    assert np.all(np.isfinite(est))
+    chi = np.asarray(outs.chi2)
+    assert np.all(np.isfinite(chi))
+    err = ate.ate_rmse_aligned_frames(np.asarray(poses), est)
+    assert float(err) < 0.15, err
+
+
+# ---------------------------------------------------------------------------
+# motion-model (decaying-velocity EKF) wiring
+# ---------------------------------------------------------------------------
+
+
+def _accel_strafe(n, step0=0.01, step1=0.18):
+    """Accelerating lateral strafe: per-frame steps ramp linearly from
+    ``step0`` to ``step1`` — crosses the VO translation sanity gate (0.1 m)
+    mid-run, so frame-to-frame VO drops to identity there."""
+    steps = np.linspace(step0, step1, n - 1)
+    x = np.concatenate([[0.0], np.cumsum(steps)]) - 1.4
+    t = np.stack([x, np.zeros(n), np.full(n, -0.5)], -1).astype(np.float32)
+    q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    return np.concatenate([t, q], -1)
+
+
+def test_motion_model_rescues_vo_gate_failures():
+    from putslam_tpu.config import tiny_test_config
+    from putslam_tpu.io import synthetic
+    from putslam_tpu.models import slam as slam_mod
+    from putslam_tpu.eval import ate
+    import dataclasses as dc
+
+    base = tiny_test_config()
+    poses = jnp.asarray(_accel_strafe(26))
+    grays, depths = synthetic.render_sequence(base.camera, poses)
+    gt = np.asarray(poses)
+
+    results = {}
+    for enabled in (False, True):
+        cfg = base.replace(
+            motion_model=dc.replace(base.motion_model, enabled=enabled))
+        est, outs, _ = slam_mod.run_slam(cfg, grays, depths,
+                                         init_pose=poses[0])
+        results[enabled] = (ate.ate_rmse_aligned_frames(gt, est),
+                            np.asarray(outs.vo_ok))
+    # the gate really trips (otherwise this test proves nothing)
+    assert (~results[True][1]).sum() >= 3, results[True][1]
+    err_off, err_on = float(results[False][0]), float(results[True][0])
+    # the EKF prior must rescue tracking: large improvement, small absolute
+    assert err_on < 0.5 * err_off, (err_on, err_off)
+    assert err_on < 0.25, err_on
+
