@@ -448,12 +448,53 @@ def gauss_newton_mm(bcfg: BackendConfig,
     # the sentinel column KC (dropped/frozen rows) is sliced away so those
     # observations contribute nothing to the camera system
     Pf = jax.nn.one_hot(ck_obs, KC + 1, dtype=f32)[:, :KC]      # (M, KC)
+    # full-K one-hot for per-observation keyframe-pose reads: an (M, K)·
+    # (K, ·) matmul replaces the M-row gather (exact: rows have a single 1)
+    P_full = jax.nn.one_hot(g.obs_kf, K, dtype=f32)             # (M, K)
 
-    gate = g.obs_valid & lm_valid[g.obs_lm]
+    # --- landmark-axis compaction (static): the ≤ LC valid landmarks get
+    # compact slots; every obs↔landmark gather/scatter in the iteration
+    # becomes a one-hot f32 matmul (M-row gathers/scatters of the
+    # observation-capacity store cost ~1.3 ms EACH on this TPU — they, not
+    # FLOPs, dominated the BA call) ---------------------------------------
+    lm_blocked = 0 < bcfg.ba_lm_block < L
+    LC = bcfg.ba_lm_block if lm_blocked else L
+    if lm_blocked:
+        sel_lm = jnp.nonzero(lm_valid, size=LC, fill_value=L)[0]  # (LC,)
+        comp_lm = jnp.full((L + 1,), LC, jnp.int32).at[sel_lm].set(
+            jnp.arange(LC, dtype=jnp.int32))[:L]
+        cl_obs = comp_lm[g.obs_lm]                              # LC = dropped
+        lm_dead_c = sel_lm >= L                                 # (LC,)
+        lm_ok_obs = cl_obs < LC        # ≡ lm_valid[g.obs_lm] by construction
+    else:
+        sel_lm = jnp.arange(L, dtype=jnp.int32)
+        cl_obs = g.obs_lm
+        lm_dead_c = ~lm_valid
+        lm_ok_obs = lm_valid[g.obs_lm]
+    Qf = jax.nn.one_hot(cl_obs, LC + 1, dtype=f32)[:, :LC]      # (M, LC)
+
+    def _obs_from_lm(x_c):
+        """(LC, d) compact landmark values → (M, d) per-observation rows
+        (zero for dropped landmarks) via one MXU product."""
+        return jax.lax.dot_general(
+            Qf, x_c.reshape(LC, -1),
+            dimension_numbers=(((1,), (0,)), ((), ())))
+
+    def _lm_from_obs(x_m):
+        """(M, d) per-observation values → (LC, d) segment sums."""
+        return jax.lax.dot_general(
+            Qf, x_m, dimension_numbers=(((0,), (0,)), ((), ())))
+
+    gate = g.obs_valid & lm_ok_obs
     if lm_gen is not None:
-        gate = gate & (g.obs_gen == lm_gen[g.obs_lm])
+        lm_gen_c = lm_gen[sel_lm].astype(f32)                   # (LC,)
+        gen_at_obs = _obs_from_lm(lm_gen_c[:, None])[:, 0]
+        gate = gate & (gen_at_obs == g.obs_gen.astype(f32))
     if kf_gen is not None:
-        gate = gate & (g.obs_kfgen == kf_gen[g.obs_kf])
+        kfgen_at_obs = jax.lax.dot_general(
+            P_full, kf_gen.astype(f32)[:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())))[:, 0]
+        gate = gate & (kfgen_at_obs == g.obs_kfgen.astype(f32))
 
     pp_gate = g.pp_valid
     if kf_gen is not None:
@@ -464,9 +505,10 @@ def gauss_newton_mm(bcfg: BackendConfig,
         Lw = _whitening_chol(g, f32)                            # (M, 3, 3)
 
     def do_iteration(carry):
-        kf_pose, lm_pos = carry
-        kf_p = kf_pose[g.obs_kf]                                # (M, 7)
-        lm_p = lm_pos[g.obs_lm]                                 # (M, 3)
+        kf_pose, lm_pos_c = carry
+        kf_p = jax.lax.dot_general(                             # (M, 7)
+            P_full, kf_pose, dimension_numbers=(((1,), (0,)), ((), ())))
+        lm_p = _obs_from_lm(lm_pos_c)                           # (M, 3)
         r, Jp, Jl = factors.assemble_obs_terms(kf_p, lm_p, g.obs_xyz,
                                                bcfg.error_type, fu, fv)
         if bcfg.use_obs_info and bcfg.error_type == 0:
@@ -498,10 +540,10 @@ def gauss_newton_mm(bcfg: BackendConfig,
             Pf, k_pack, dimension_numbers=(((0,), (0,)), ((), ())))  # (KC, 42)
         H_cc_diag = k_sums[:, :36].reshape(KC, 6, 6)
         b_c = k_sums[:, 36:42]
-        # L-side segment sums: one fused scatter-add (12 lanes per row)
+        # L-side segment sums as one (LC, M)×(M, 12) matmul (exact one-hot)
         l_pack = jnp.concatenate([JlT_Jl.reshape(M, 9), bl], axis=1)
-        l_sums = jnp.zeros((L, 12), f32).at[g.obs_lm].add(l_pack)
-        H_ll = l_sums[:, :9].reshape(L, 3, 3)
+        l_sums = _lm_from_obs(l_pack)                           # (LC, 12)
+        H_ll = l_sums[:, :9].reshape(LC, 3, 3)
         b_l = l_sums[:, 9:12]
 
         # --- pose-pose edges (E is small; scatter into a compact
@@ -530,23 +572,24 @@ def gauss_newton_mm(bcfg: BackendConfig,
         b_cp = b_cp.at[cpp_j].add(-jnp.einsum("e,eri,er->ei", wpp, Jj, r6))
         b_c = b_c + b_cp[:KC]
 
-        # --- landmark elimination ----------------------------------------
+        # --- landmark elimination (compact axis) -------------------------
         tr_ll = (H_ll[..., 0, 0] + H_ll[..., 1, 1] + H_ll[..., 2, 2]) / 3.0
         H_ll_inv = inv3x3(H_ll + (lam * (1.0 + tr_ll))[:, None, None]
                           * jnp.eye(3, dtype=f32))
-        Linv = chol3x3(H_ll_inv)                                # (L, 3, 3)
+        Linv = chol3x3(H_ll_inv)                                # (LC, 3, 3)
 
         # whitened coupling F = C · Linv[lm]  (so G·Gᵀ = H_cl·H_ll⁻¹·H_clᵀ)
         # — frozen observations carry sentinel index KC, whose one-hot row
         # is all-zero, so they drop out of the camera-side coupling while
         # still having fed H_ll / b_l above (landmark anchoring)
-        F = jnp.einsum("mia,mab->mib", C, Linv[g.obs_lm])       # (M, 6, 3)
-        S_sub = schur_subtrahend_mm(ck_obs, g.obs_lm, F, KC, L)
+        Linv_m = _obs_from_lm(Linv.reshape(LC, 9)).reshape(M, 3, 3)
+        F = jnp.einsum("mia,mab->mib", C, Linv_m)               # (M, 6, 3)
+        S_sub = schur_subtrahend_mm(ck_obs, cl_obs, F, KC, LC)
         S = H_cc.transpose(0, 2, 1, 3).reshape(KC * 6, KC * 6) - S_sub
 
         # exact f32 gradient of the reduced system
-        t = jnp.einsum("lab,lb->la", H_ll_inv, b_l)             # (L, 3)
-        c_m = jnp.einsum("mia,ma->mi", C, t[g.obs_lm])          # (M, 6)
+        t = jnp.einsum("lab,lb->la", H_ll_inv, b_l)             # (LC, 3)
+        c_m = jnp.einsum("mia,ma->mi", C, _obs_from_lm(t))      # (M, 6)
         b_red = (b_c - jax.lax.dot_general(
             Pf, c_m, dimension_numbers=(((0,), (0,)), ((), ())))
         ).reshape(KC * 6)
@@ -575,35 +618,42 @@ def gauss_newton_mm(bcfg: BackendConfig,
             dc_full = dc_mat
 
         # --- landmark back-substitution: δl = H_ll⁻¹ (b_l − H_lc δc) ------
-        u_m = jnp.einsum("mia,mi->ma", C, dc_full[g.obs_kf])    # (M, 3)
-        Hlc_dc = jnp.zeros((L, 3), f32).at[g.obs_lm].add(u_m)
+        # per-observation camera step through the *compact* one-hot (frozen
+        # observations read a zero step, exactly as before)
+        dc_obs = jax.lax.dot_general(
+            Pf, dc_mat, dimension_numbers=(((1,), (0,)), ((), ())))  # (M, 6)
+        u_m = jnp.einsum("mia,mi->ma", C, dc_obs)               # (M, 3)
+        Hlc_dc = _lm_from_obs(u_m)                              # (LC, 3)
         dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
         dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
 
         new_pose = se3.retract(kf_pose, dc_full)
         new_pose = jnp.where(frozen_full[:, None], kf_pose, new_pose)
-        moved = lm_valid & (jnp.abs(dl).max(axis=-1) < 1e3)
-        new_lm = jnp.where(moved[:, None], lm_pos + dl, lm_pos)
-        return (new_pose, new_lm), chi2
+        moved = ~lm_dead_c & (jnp.abs(dl).max(axis=-1) < 1e3)
+        new_lm_c = jnp.where(moved[:, None], lm_pos_c + dl, lm_pos_c)
+        return (new_pose, new_lm_c), chi2
 
     # chi²-ratio convergence (graph_g2o.cpp:888-908): once an iteration
     # fails to improve chi² by the configured ratio, the remaining scan
     # steps take the skip branch of the cond — essentially free at runtime,
     # so steady-state BA calls pay for only the 1-2 iterations they need.
     def iteration(carry, _):
-        kf_pose, lm_pos, prev_chi2, done = carry
-        (new_pose, new_lm), chi2 = jax.lax.cond(
+        kf_pose, lm_pos_c, prev_chi2, done = carry
+        (new_pose, new_lm_c), chi2 = jax.lax.cond(
             done,
             lambda c: (c, prev_chi2),
             do_iteration,
-            (kf_pose, lm_pos))
+            (kf_pose, lm_pos_c))
         done = done | (chi2 >= bcfg.chi2_ratio_termination * prev_chi2)
-        return (new_pose, new_lm, chi2, done), chi2
+        return (new_pose, new_lm_c, chi2, done), chi2
 
-    (kf_out, lm_out, _, _), chi2s = jax.lax.scan(
-        iteration, (kf_pose, lm_pos, jnp.float32(jnp.inf),
+    lm_pos_c0 = lm_pos[jnp.clip(sel_lm, 0, L - 1)]              # (LC, 3)
+    (kf_out, lm_out_c, _, _), chi2s = jax.lax.scan(
+        iteration, (kf_pose, lm_pos_c0, jnp.float32(jnp.inf),
                     jnp.asarray(False)),
         None, length=bcfg.gn_iterations)
+    # scatter the compact landmark block back (sentinel rows drop OOB)
+    lm_out = lm_pos.at[jnp.where(lm_dead_c, L, sel_lm)].set(lm_out_c)
     _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
                                          lm_gen, kf_gen, cam)
     return BAResult(kf_out, lm_out, chi2s, sq_final)

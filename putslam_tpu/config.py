@@ -197,6 +197,14 @@ class BackendConfig:
     # keyframes keep anchoring landmarks through H_ll/b_l exactly as
     # before. 0 disables (full-K system — used by the end-of-run finalize).
     ba_window: int = 64
+    # Landmark-axis compaction for dense_schur_mm: the ≤ ba_lm_block VALID
+    # landmarks are gathered into a compact block and every obs↔landmark
+    # gather/scatter becomes a one-hot f32 matmul on the MXU (plain row
+    # gathers/scatters of the 8192-slot store cost ~1.3 ms EACH on TPU —
+    # they, not FLOPs, dominated the BA call). Surplus valid landmarks
+    # beyond the block are gracefully dropped from that BA call (their
+    # edges gate out). 0 disables (full-L axis).
+    ba_lm_block: int = 2048
     pcg_iterations: int = 64
     pcg_tol: float = 1e-6
     damping: float = 1e-5                 # LM-style relative diagonal damping

@@ -36,6 +36,19 @@ def _upper_tri(info: np.ndarray) -> str:
     return " ".join(f"{v:.6g}" for v in vals)
 
 
+def _from_upper_tri(tokens, n: int) -> np.ndarray:
+    """Upper-triangular row-major values → symmetric (n, n) matrix
+    (the reference reads the same layout, graph_g2o.cpp:685-770)."""
+    m = np.zeros((n, n), np.float32)
+    it = iter(tokens)
+    for i in range(n):
+        for j in range(i, n):
+            v = float(next(it))
+            m[i, j] = v
+            m[j, i] = v
+    return m
+
+
 def export_graph(path: str, kf_pose, kf_valid, lm_pos, lm_valid,
                  g: GraphState, lm_gen=None) -> None:
     """Write the current factor graph as a .g2o file."""
@@ -69,9 +82,14 @@ def export_graph(path: str, kf_pose, kf_valid, lm_pos, lm_valid,
             info = np.eye(6) * pp_w[e]
             f.write(f"EDGE_SE3:QUAT {pp_i[e]} {pp_j[e]} "
                     f"{_pose_to_g2o(pp_rel[e])} {_upper_tri(info)}\n")
+        obs_info = np.asarray(g.obs_info)
         for e in np.nonzero(obs_ok & kf_valid[obs_kf] & lm_valid[obs_lm])[0]:
             x, y, z = obs_xyz[e]
-            info = np.eye(3) * obs_w[e]
+            # full stored information when present (useUncertainty mode),
+            # scalar w·I otherwise — matches what the reference writes from
+            # its edge information matrices (graph_g2o.cpp:679-682)
+            info = (obs_info[e] if np.trace(obs_info[e]) > 0.0
+                    else np.eye(3) * obs_w[e])
             f.write(f"EDGE_SE3_TRACKXYZ {obs_kf[e]} "
                     f"{LANDMARK_ID_BASE + obs_lm[e]} {x} {y} {z} "
                     f"{_upper_tri(info)}\n")
@@ -112,14 +130,25 @@ def import_graph(path: str, max_keyframes: int, max_landmarks: int,
             elif tag == "EDGE_SE3:QUAT":
                 i, j = int(tok[1]), int(tok[2])
                 tx, ty, tz, qx, qy, qz, qw = map(float, tok[3:10])
-                w = float(tok[10])  # info[0,0] as the scalar weight
+                # full 21-value upper-triangular 6×6 information
+                # (graph_g2o.cpp:685-770 reads the same); the pose-pose
+                # factor uses a scalar weight, so reduce to the mean of the
+                # information diagonal (exact for the isotropic matrices the
+                # engine itself emits)
+                info6 = _from_upper_tri(tok[10:31], 6)
+                w = float(np.trace(info6) / 6.0)
                 pps.append((i, j, [tx, ty, tz, qw, qx, qy, qz], w))
             elif tag == "EDGE_SE3_TRACKXYZ":
                 k = int(tok[1])
                 l = int(tok[2]) - LANDMARK_ID_BASE
                 xyz = [float(tok[3]), float(tok[4]), float(tok[5])]
-                w = float(tok[6])
-                obs.append((k, l, xyz, w))
+                # full 6-value upper-triangular 3×3 information — kept as a
+                # matrix so anisotropic imports whiten BA exactly
+                # (use_obs_info mode); scalar weight = mean diagonal for
+                # the scalar-weighted paths
+                info3 = _from_upper_tri(tok[6:12], 3)
+                w = float(np.trace(info3) / 3.0)
+                obs.append((k, l, xyz, w, info3))
 
     g = init_graph(max_observations, max_pose_pose)
     if obs:
@@ -127,10 +156,11 @@ def import_graph(path: str, max_keyframes: int, max_landmarks: int,
         ls = jnp.asarray([o[1] for o in obs], jnp.int32)
         xyz = jnp.asarray([o[2] for o in obs], jnp.float32)
         w = jnp.asarray([o[3] for o in obs], jnp.float32)
+        info = jnp.asarray(np.stack([o[4] for o in obs]), jnp.float32)
         from putslam_tpu.backend.graph import add_observations
 
         g = add_observations(g, ks, ls, xyz, w,
-                             jnp.ones((len(obs),), bool))
+                             jnp.ones((len(obs),), bool), info=info)
     from putslam_tpu.backend.graph import add_pose_pose
 
     for (i, j, rel, w) in pps:

@@ -173,6 +173,49 @@ def revisit_trajectory(n_frames: int, sweep: float = 1.2,
     return se3.make_pose(t, qz)
 
 
+def handheld_trajectory(n_frames: int, seed: int = 0,
+                        step_t: float = 0.013, step_r: float = 0.011,
+                        pos_amp=(0.9, 0.45, 0.6), rot_amp: float = 0.35,
+                        dtype=jnp.float32):
+    """Pseudo-random handheld-style trajectory at fr1_desk-like dynamics.
+
+    fr1_desk moves at ≈0.41 m/s / 23 °/s, i.e. ≈0.013 m and ≈0.77° per
+    frame at 30 Hz — nothing like the smooth parametric orbit used by the
+    benches. This generator produces Gaussian-smoothed random walks in
+    translation and rotation, rescaled so the *median per-frame step*
+    matches ``step_t`` metres / ``step_r`` radians, then amplitude-clamped
+    to stay inside the render box (camera near (0,0,−0.5) facing the +z
+    wall). Used to materialize the ≥600-frame on-disk TUM sequences the
+    file-player acceptance path runs on (fileGrabber.cpp:40-160,
+    runPUTSLAM.py:15-40).
+
+    Returns (n_frames, 7) camera→world poses."""
+    rng = np.random.default_rng(seed)
+    sigma = 25.0
+    pad = int(4 * sigma)
+    k = np.exp(-0.5 * ((np.arange(-pad, pad + 1)) / sigma) ** 2)
+    k /= k.sum()
+
+    def smooth_channel(amp, target_step):
+        raw = rng.normal(size=(n_frames + 2 * pad,))
+        s = np.convolve(raw, k, mode="valid")[:n_frames]
+        s = s - s.mean()
+        d = np.abs(np.diff(s))
+        scale = target_step / max(np.median(d), 1e-12)
+        # clamp: never leave the room / never spin past rot_amp
+        return np.clip(s * scale, -amp, amp)
+
+    t = np.stack([smooth_channel(pos_amp[0], step_t),
+                  smooth_channel(pos_amp[1], 0.6 * step_t),
+                  smooth_channel(pos_amp[2], 0.8 * step_t)], axis=-1)
+    t = t + np.array([0.0, 0.0, -0.5])
+    rv = np.stack([smooth_channel(rot_amp * 0.6, 0.6 * step_r),
+                   smooth_channel(rot_amp, step_r),
+                   smooth_channel(rot_amp * 0.4, 0.4 * step_r)], axis=-1)
+    q = jax.vmap(se3.so3_exp_quat)(jnp.asarray(rv, dtype))
+    return se3.make_pose(jnp.asarray(t, dtype), q)
+
+
 def degrade_sequence(grays, depths, seed: int = 0,
                      intensity_sigma: float = 0.0,
                      depth_dropout: float = 0.0,

@@ -87,16 +87,16 @@ class TumDataset:
         return len(self.pairs)
 
     def __getitem__(self, idx: int) -> TumFrame:
-        from PIL import Image
+        from putslam_tpu.io import png as png_mod
 
         ts, rgb_rel, depth_rel = self.pairs[idx]
-        rgb = np.asarray(Image.open(os.path.join(self.root, rgb_rel)))
+        rgb = png_mod.read_png(os.path.join(self.root, rgb_rel))
         if rgb.ndim == 3:
             gray = (rgb[..., :3].astype(np.float32) @
                     np.array([0.299, 0.587, 0.114], np.float32)) / 255.0
         else:
             gray = rgb.astype(np.float32) / 255.0
-        d16 = np.asarray(Image.open(os.path.join(self.root, depth_rel)))
+        d16 = png_mod.read_png(os.path.join(self.root, depth_rel))
         depth = d16.astype(np.float32) / self.depth_scale
         return TumFrame(ts, gray, depth)
 
@@ -152,3 +152,60 @@ def save_trajectory(path: str, timestamps: np.ndarray, poses: np.ndarray) -> Non
             tx, ty, tz, qw, qx, qy, qz = [float(x) for x in p[:7]]
             f.write(f"{ts:.6f} {tx:.6f} {ty:.6f} {tz:.6f} "
                     f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}\n")
+
+
+def write_tum_dataset(root: str, grays: np.ndarray, depths: np.ndarray,
+                      gt_poses: Optional[np.ndarray] = None,
+                      timestamps: Optional[np.ndarray] = None,
+                      depth_scale: float = 5000.0, fps: float = 30.0) -> str:
+    """Materialize a sequence ON DISK in the TUM RGB-D layout the reference's
+    toolchain consumes (prepareDatasetFreiburg.py output: rgb/*.png 8-bit,
+    depth/*.png 16-bit at ``depth_scale`` counts/metre, rgb.txt / depth.txt /
+    groundtruth.txt index files with timestamps). The written directory is a
+    drop-in ``TumDataset`` root — the engine then reads it back through the
+    same file-player path a real fr1_desk download would take
+    (fileGrabber.cpp:40-160), and the reference's evaluate_ate.py /
+    evaluate_rpe.py score the resulting trajectories directly.
+
+    grays: (T,H,W) float [0,1]; depths: (T,H,W) float metres (0 = hole).
+    Returns ``root``."""
+    from putslam_tpu.io import png as png_mod
+
+    grays = np.asarray(grays)
+    depths = np.asarray(depths)
+    T = grays.shape[0]
+    if timestamps is None:
+        timestamps = np.arange(T, dtype=np.float64) / fps
+    write_tum_frames(root, grays, depths, timestamps, depth_scale)
+    _write_index_files(root, timestamps)
+    if gt_poses is not None:
+        save_trajectory(os.path.join(root, "groundtruth.txt"),
+                        timestamps, np.asarray(gt_poses))
+    return root
+
+
+def write_tum_frames(root: str, grays: np.ndarray, depths: np.ndarray,
+                     timestamps: np.ndarray,
+                     depth_scale: float = 5000.0) -> None:
+    """Write just the per-frame PNG pairs (chunked materialization)."""
+    from putslam_tpu.io import png as png_mod
+
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    for i in range(len(grays)):
+        ts = timestamps[i]
+        g8 = np.clip(
+            np.asarray(grays[i]) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        d16 = np.clip(np.asarray(depths[i]) * depth_scale + 0.5, 0,
+                      65535).astype(np.uint16)
+        png_mod.write_png(os.path.join(root, f"rgb/{ts:.6f}.png"), g8)
+        png_mod.write_png(os.path.join(root, f"depth/{ts:.6f}.png"), d16)
+
+
+def _write_index_files(root: str, timestamps: np.ndarray) -> None:
+    """rgb.txt / depth.txt over the full timestamp list."""
+    for sub, header in (("rgb", "color images"), ("depth", "depth maps")):
+        with open(os.path.join(root, f"{sub}.txt"), "w") as f:
+            f.write(f"# {header}\n# timestamp filename\n")
+            for ts in timestamps:
+                f.write(f"{ts:.6f} {sub}/{ts:.6f}.png\n")

@@ -465,18 +465,63 @@ def run_playback(cfg: SlamConfig, grays, depths, gt_poses, seed: int = 0):
     return poses, jax.tree.map(np.asarray, outs), state
 
 
-def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0):
-    """Host wrapper: returns (poses (T,7) numpy, outputs, final_state)."""
+def _to_device_float(cfg: SlamConfig, g, d):
+    """Upload a frame block; integer wire formats (uint8 gray / uint16 depth
+    — the exact on-disk PNG payloads) are cast to float on the DEVICE, so a
+    long sequence ships at 1/4 the bytes through the host↔device link."""
+    g = jnp.asarray(g)
+    if g.dtype == jnp.uint8:
+        g = g.astype(jnp.float32) / 255.0
+    d = jnp.asarray(d)
+    if d.dtype == jnp.uint16:
+        d = d.astype(jnp.float32) / cfg.camera.depth_image_scale
+    return g, d
+
+
+def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0,
+             chunk_size: int = 0):
+    """Host wrapper: returns (poses (T,7) numpy, outputs, final_state).
+
+    ``chunk_size`` > 0 streams the sequence through the jitted scan in
+    fixed-size blocks (one compiled program; the tail block is padded with
+    copies of the last frame and the padded steps trimmed from the outputs
+    — static frames produce identity VO and no keyframes, so the map state
+    is not perturbed). This is how full-length (≥600-frame) file-played
+    sequences run without staging the whole image stack on the device."""
     import numpy as np
 
-    g = jnp.asarray(grays)
-    d = jnp.asarray(depths)
-    state = slam_init(cfg, g[0], d[0], init_pose, seed)
-    state, outs = slam_sequence(cfg, state, g[1:], d[1:])
+    T = len(grays)
+    if not chunk_size or T - 1 <= chunk_size:
+        g, d = _to_device_float(cfg, grays, depths)
+        state = slam_init(cfg, g[0], d[0], init_pose, seed)
+        state, outs = slam_sequence(cfg, state, g[1:], d[1:])
+        poses = np.concatenate([
+            np.asarray(init_pose if init_pose is not None
+                       else se3.identity())[None],
+            np.asarray(outs.pose)], axis=0)
+        return poses, jax.tree.map(np.asarray, outs), state
+
+    g0, d0 = _to_device_float(cfg, grays[0], depths[0])
+    state = slam_init(cfg, g0, d0, init_pose, seed)
+    outs_chunks = []
+    for s in range(1, T, chunk_size):
+        e = min(s + chunk_size, T)
+        gc = np.asarray(grays[s:e])
+        dc = np.asarray(depths[s:e])
+        if e - s < chunk_size:
+            pad = chunk_size - (e - s)
+            gc = np.concatenate([gc, np.repeat(gc[-1:], pad, axis=0)])
+            dc = np.concatenate([dc, np.repeat(dc[-1:], pad, axis=0)])
+        gj, dj = _to_device_float(cfg, gc, dc)
+        state, outs = slam_sequence(cfg, state, gj, dj)
+        outs_chunks.append(jax.tree.map(np.asarray, outs))
+    outs_all = jax.tree.map(lambda *xs: np.concatenate(xs)[:T - 1],
+                            *outs_chunks)
     poses = np.concatenate([
-        np.asarray(init_pose if init_pose is not None else se3.identity())[None],
-        np.asarray(outs.pose)], axis=0)
-    return poses, jax.tree.map(np.asarray, outs), state
+        np.asarray(init_pose if init_pose is not None
+                   else se3.identity())[None],
+        outs_all.pose], axis=0)
+    return poses, outs_all, state
 
 
 # ---------------------------------------------------------------------------
@@ -611,7 +656,7 @@ def reanchor_trajectory(state: SlamState, outs: SlamOutputs):
 
 
 def run_slam_final(cfg: SlamConfig, grays, depths, init_pose=None,
-                   seed: int = 0):
+                   seed: int = 0, chunk_size: int = 0):
     """run_slam + end-of-run final optimization + trajectory repair.
 
     Returns (poses_before (T,7), poses_after (T,7), outputs, final_state) —
@@ -619,7 +664,8 @@ def run_slam_final(cfg: SlamConfig, grays, depths, init_pose=None,
     measures (PUTSLAM.cpp:1222-1233)."""
     import numpy as np
 
-    poses_before, outs, state = run_slam(cfg, grays, depths, init_pose, seed)
+    poses_before, outs, state = run_slam(cfg, grays, depths, init_pose, seed,
+                                         chunk_size=chunk_size)
     state = finalize(cfg, state)
     first = poses_before[:1]
     poses_after = np.concatenate(

@@ -35,6 +35,16 @@ def main(argv=None) -> int:
                     help="0=matching, 1=KLT tracking (VOVersion)")
     ap.add_argument("--loop-closure", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="stream the sequence through the jitted scan in "
+                         "blocks of this many frames (0 = all at once); "
+                         "long file-played sequences must not stage the "
+                         "whole image stack on the device")
+    ap.add_argument("--reference-eval", action="store_true",
+                    help="additionally score the trajectories with the "
+                         "REFERENCE's own evaluate_ate/evaluate_rpe scripts "
+                         "(writes VOAte.res/g2oAte.res/VORpe.res/g2oRpe.res "
+                         "like scripts/runPUTSLAM.py)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--reference-resources", default=None,
                     help="load the operating point from a reference-style "
@@ -83,19 +93,38 @@ def main(argv=None) -> int:
             ds = tum.TumDataset(args.dataset,
                                 depth_scale=cfg.camera.depth_image_scale)
             n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
-            frames = [ds[i] for i in range(n)]
-            grays = np.stack([f.gray for f in frames])
-            depths = np.stack([f.depth for f in frames])
-            timestamps = np.array([f.timestamp for f in frames])
+            # stream through the native threaded loader; store the wire
+            # format (uint8 gray / uint16 depth = the PNG payloads) — cast
+            # to float happens on-device per chunk
+            grays = np.empty((n, cfg.camera.height, cfg.camera.width), np.uint8)
+            depths = np.empty_like(grays, dtype=np.uint16)
+            timestamps = np.empty((n,), np.float64)
+            scale = cfg.camera.depth_image_scale
+            for i, f in enumerate(ds):
+                if i >= n:
+                    break
+                grays[i] = np.clip(f.gray * 255.0 + 0.5, 0, 255)
+                depths[i] = np.clip(f.depth * scale + 0.5, 0, 65535)
+                timestamps[i] = f.timestamp
             if ds.groundtruth is not None:
                 gt_ts, gt_all = ds.groundtruth
+                # per-frame GT when timestamps line up exactly (our
+                # materialized synthetic sequences) — enables the frame-
+                # aligned report alongside the associated-timestamp eval
+                if (len(gt_ts) >= n and
+                        np.allclose(gt_ts[:n], timestamps, atol=1e-6)):
+                    gt_poses = gt_all[:n]
     else:
         ap.error("need --dataset or --synthetic N")
 
-    init_pose = gt_poses[0] if gt_poses is not None else None
+    init_pose = gt_poses[0] if gt_poses is not None else (
+        ds.starting_pose() if args.dataset else None)
 
     t0 = time.perf_counter()
     if args.only_vo:
+        if grays.dtype == np.uint8:
+            grays = grays.astype(np.float32) / 255.0
+            depths = depths.astype(np.float32) / cfg.camera.depth_image_scale
         with timer.stage("vo_total"):
             est, stats = vo.run_vo(cfg, grays, depths, seed=args.seed,
                                    init_pose=init_pose)
@@ -103,7 +132,8 @@ def main(argv=None) -> int:
     else:
         with timer.stage("slam_total"):
             est_vo_anchored, est, outs, state = slam.run_slam_final(
-                cfg, grays, depths, init_pose=init_pose, seed=args.seed)
+                cfg, grays, depths, init_pose=init_pose, seed=args.seed,
+                chunk_size=args.chunk)
     total = time.perf_counter() - t0
 
     # --- outputs (reference file names) ----------------------------------
@@ -145,6 +175,39 @@ def main(argv=None) -> int:
     elif args.dataset and 'gt_all' in dir():
         report["ate_rmse_m"] = round(
             ate_mod.ate_rmse(gt_ts, gt_all, ts, est), 5)
+
+    # --- score with the REFERENCE's own eval scripts ----------------------
+    # (scripts/evaluate_ate.py:47-133 / evaluate_rpe.py, the runPUTSLAM.py
+    # acceptance loop; output names VOAte/g2oAte/VORpe/g2oRpe.res match)
+    gt_file = (os.path.join(args.dataset, "groundtruth.txt")
+               if args.dataset else None)
+    if args.reference_eval and gt_file and os.path.exists(gt_file):
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        import run_reference_eval as ref_eval
+
+        pairs = [("g2o", os.path.join(args.out, "graph_trajectory.res"))]
+        if not args.only_vo:
+            pairs.append(("VO", os.path.join(args.out, "VO_trajectory.res")))
+        else:
+            pairs = [("VO", os.path.join(args.out, "VO_trajectory.res"))]
+        for tag, traj in pairs:
+            if not os.path.exists(traj):
+                continue
+            ate_out = ref_eval.evaluate("ate", gt_file, traj)
+            rpe_out = ref_eval.evaluate(
+                "rpe", gt_file, traj,
+                extra=["--fixed_delta", "--delta", "1", "--delta_unit", "s"])
+            with open(os.path.join(args.out, f"{tag}Ate.res"), "w") as f:
+                f.write(ate_out)
+            with open(os.path.join(args.out, f"{tag}Rpe.res"), "w") as f:
+                f.write(rpe_out)
+            report[f"ref_ate_rmse_{tag}_m"] = round(float(
+                ate_out.strip().splitlines()[0]), 5)
+            report[f"ref_rpe_trans_{tag}_m"] = round(float(
+                rpe_out.strip().splitlines()[0]), 5)
+
     print(json.dumps(report))
     return 0
 

@@ -94,6 +94,38 @@ def test_windowed_mm_overflow_freezes_oldest_slots(rng):
     assert np.abs(out[1:5] - kf_init[1:5]).max() > 1e-6
 
 
+def test_lm_blocked_mm_matches_full(rng):
+    """Landmark-axis compaction (one-hot matmul gathers) must reproduce the
+    full-axis dense_schur_mm solution, including with invalid landmarks
+    interleaved and a generation gate active."""
+    K, L = 8, 96
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(
+        rng, K=K, L=L, obs_per_kf=48, noise=0.002)
+    kf_valid = jnp.ones((K,), bool)
+    # kill every 5th landmark (its observations must gate out identically)
+    lm_valid = jnp.asarray(np.arange(L) % 5 != 0)
+    lm_gen = jnp.ones((L,), jnp.int32)
+    g = g._replace(obs_gen=jnp.ones_like(g.obs_gen))
+    fixed = jnp.zeros((K,), bool).at[0].set(True)
+
+    res_full = optimize.gauss_newton_mm(
+        _mm_cfg(ba_window=0, ba_lm_block=0), jnp.asarray(kf_init), kf_valid,
+        jnp.asarray(lm_init), lm_valid, g, fixed, lm_gen=lm_gen)
+    res_blk = optimize.gauss_newton_mm(
+        _mm_cfg(ba_window=0, ba_lm_block=90), jnp.asarray(kf_init), kf_valid,
+        jnp.asarray(lm_init), lm_valid, g, fixed, lm_gen=lm_gen)
+    np.testing.assert_allclose(np.asarray(res_blk.kf_pose),
+                               np.asarray(res_full.kf_pose), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_blk.lm_pos),
+                               np.asarray(res_full.lm_pos), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_blk.chi2),
+                               np.asarray(res_full.chi2), rtol=1e-3)
+    # invalid landmarks untouched by both
+    dead = ~np.asarray(lm_valid)
+    np.testing.assert_array_equal(np.asarray(res_blk.lm_pos)[dead],
+                                  lm_init[dead])
+
+
 # ---------------------------------------------------------------------------
 # observation-slot reclamation (obs-store wrap soundness)
 # ---------------------------------------------------------------------------
@@ -180,6 +212,41 @@ def test_slam_survives_obs_ring_wrap():
 
 
 # ---------------------------------------------------------------------------
+# g2o interop: full information matrices
+# ---------------------------------------------------------------------------
+
+
+def test_g2o_full_information_roundtrip(tmp_path):
+    """Hand-written reference-format file with NON-isotropic information:
+    import must keep the full 3×3 (whitening BA exactly), and export must
+    reproduce it (graph_g2o.cpp:685-770 reads full upper-triangular)."""
+    from putslam_tpu.io import g2o as g2o_mod
+
+    src = tmp_path / "in.g2o"
+    info3 = np.array([[100.0, 0.5, 0.0], [0.5, 25.0, -1.0], [0.0, -1.0, 4.0]])
+    info6 = np.diag([10.0, 10.0, 10.0, 40.0, 40.0, 40.0])
+    up3 = " ".join(str(info3[i, j]) for i in range(3) for j in range(i, 3))
+    up6 = " ".join(str(info6[i, j]) for i in range(6) for j in range(i, 6))
+    src.write_text(
+        "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\n"
+        "VERTEX_SE3:QUAT 1 0.1 0 0 0 0 0 1\n"
+        "FIX 0\n"
+        f"VERTEX_TRACKXYZ {g2o_mod.LANDMARK_ID_BASE} 0.5 0.2 2.0\n"
+        f"EDGE_SE3:QUAT 0 1 0.1 0 0 0 0 0 1 {up6}\n"
+        f"EDGE_SE3_TRACKXYZ 0 {g2o_mod.LANDMARK_ID_BASE} 0.5 0.2 2.0 {up3}\n")
+    kf_pose, kf_valid, lm_pos, lm_valid, g, fixed = g2o_mod.import_graph(
+        str(src), 8, 16, 32, 8)
+    np.testing.assert_allclose(np.asarray(g.obs_info[0]), info3, atol=1e-5)
+    assert abs(float(g.obs_w[0]) - np.trace(info3) / 3.0) < 1e-5
+    assert abs(float(g.pp_w[0]) - np.trace(info6) / 6.0) < 1e-5
+
+    out = tmp_path / "out.g2o"
+    g2o_mod.export_graph(str(out), kf_pose, kf_valid, lm_pos, lm_valid, g)
+    _, _, _, _, g2, _ = g2o_mod.import_graph(str(out), 8, 16, 32, 8)
+    np.testing.assert_allclose(np.asarray(g2.obs_info[0]), info3, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # motion-model (decaying-velocity EKF) wiring
 # ---------------------------------------------------------------------------
 
@@ -221,4 +288,63 @@ def test_motion_model_rescues_vo_gate_failures():
     # the EKF prior must rescue tracking: large improvement, small absolute
     assert err_on < 0.5 * err_off, (err_on, err_off)
     assert err_on < 0.25, err_on
+
+
+# ---------------------------------------------------------------------------
+# disk-based TUM pipeline: write → file-play → evaluate with the
+# REFERENCE's own scripts
+# ---------------------------------------------------------------------------
+
+
+def test_disk_tum_roundtrip_chunked_slam_and_reference_eval(tmp_path):
+    import os
+    import sys
+    from putslam_tpu.config import tiny_test_config
+    from putslam_tpu.io import synthetic, tum
+    from putslam_tpu.models import slam as slam_mod
+    from putslam_tpu.eval import ate
+
+    cfg = tiny_test_config()
+    poses = synthetic.handheld_trajectory(14, seed=1, step_t=0.02,
+                                          step_r=0.012)
+    grays, depths = synthetic.render_sequence(cfg.camera, poses)
+    root = str(tmp_path / "seq")
+    tum.write_tum_dataset(root, np.asarray(grays), np.asarray(depths),
+                          gt_poses=np.asarray(poses))
+
+    ds = tum.TumDataset(root, depth_scale=5000.0)
+    assert len(ds) == 14
+    f0 = ds[0]
+    assert np.abs(f0.gray - np.asarray(grays[0])).max() < 1 / 255 + 1e-6
+    assert np.abs(f0.depth - np.asarray(depths[0])).max() < 1.1 / 5000
+
+    # file-played frames in wire format through the CHUNKED scan path
+    # (tail chunk padded) — must match the in-memory result contract
+    g_u8 = np.stack([np.clip(ds[i].gray * 255 + 0.5, 0, 255).astype(np.uint8)
+                     for i in range(len(ds))])
+    d_u16 = np.stack([np.clip(ds[i].depth * 5000 + 0.5, 0,
+                              65535).astype(np.uint16)
+                      for i in range(len(ds))])
+    est, outs, st = slam_mod.run_slam(cfg, g_u8, d_u16,
+                                      init_pose=jnp.asarray(poses[0]),
+                                      chunk_size=5)
+    assert est.shape == (14, 7)
+    gt = np.asarray(poses)
+    our_ate = float(ate.ate_rmse_aligned_frames(gt, est))
+    assert our_ate < 0.2, our_ate
+
+    # score the same trajectories with the reference's own scripts
+    if not os.path.isdir("/root/reference/scripts"):
+        pytest.skip("reference scripts not mounted")
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import run_reference_eval as ref_eval
+
+    ts = np.arange(14) / 30.0
+    est_file = str(tmp_path / "est.txt")
+    tum.save_trajectory(est_file, ts, est)
+    ref_ate = float(ref_eval.evaluate(
+        "ate", os.path.join(root, "groundtruth.txt"), est_file).strip())
+    # same Horn-alignment math → the reference's number equals ours
+    assert abs(ref_ate - our_ate) < 5e-4 + 0.02 * our_ate, (ref_ate, our_ate)
 
