@@ -64,6 +64,10 @@ class DetectorConfig:
     n_pyramid_levels: int = 4        # ORB scale pyramid depth
     scale_factor: float = 1.41421356 # per-level downscale (sqrt(2))
     nms_radius: int = 3              # DBScan-equivalent declustering radius (dbscan.cpp:79-123)
+    # grid detection cap: "subtile" = one winner per subtile (fast,
+    # slightly stronger spatial spread); "exact" = the reference's
+    # per-cell top-k verbatim (matcherOpenCV.cpp:118-180, ~4× cap cost)
+    grid_policy: str = "subtile"
     patch_size: int = 32             # descriptor patch (rBRIEF standard)
     descriptor: str = "brief"        # "brief" (rBRIEF) | "ldb" (grid tests, src/LDB)
     border: int = 20                 # keypoint exclusion border
@@ -103,6 +107,12 @@ class MatcherConfig:
     # "ratio" = ratio-of-best test (best < ratio·second-best, the
     # discriminativeness analog of matcher.cpp:734-747's band acceptance)
     acceptance: str = "hamming"
+    # multi-mate guided matching (matcher.cpp:734-747: the reference hands
+    # RANSAC EVERY candidate within ratio-of-best per map feature): >1
+    # keeps up to this many band-accepted mates per landmark as
+    # (landmark, feature) pairs for the absolute-pose RANSAC — helps on
+    # repetitive texture where the single best mate aliases. 1 = best-only.
+    max_mates: int = 1
     octave_window: int = 1                 # octave +-1 gate, matcher.cpp:699-711
     retries: int = 2                       # map-matching retry with widened radius
     retry_radius_growth: float = 2.0       # PUTSLAM.cpp:791-798 widening
@@ -152,6 +162,14 @@ class MapConfig:
     min_image_distance_of_features: float = 2.0
     add_no_features_when_map_size_greater_than: int = 1000
     use_uncertainty: bool = False
+    # observation-uncertainty shaping (depthSensorModel.cpp:28-95):
+    # "sensor"   — J·R_uvd·Jᵀ pinhole+depth-noise propagation only
+    # "normal"   — additionally shrink variance along the surface normal
+    #              (points on a wall are well-constrained normal to it)
+    # "gradient" — shrink variance across the image-gradient direction
+    uncertainty_model: str = "sensor"
+    scale_uncertainty_normal: float = 0.1    # scaleUncertaintyNormal
+    scale_uncertainty_gradient: float = 0.1  # scaleUncertaintyGradient
     life_value_init: float = 10.0          # feature aging (featuresMap.cpp:474-516)
     life_value_measurement_bonus: float = 5.0
     # 0 disables aging-death (the reference's default: weakFeatureThr=-1,

@@ -104,7 +104,9 @@ def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
         feat.has_depth & (lm_dist < 1e-4),
         gen=m.lm_gen[lm_idx],
         kf_gen=jnp.full((feat.capacity,), m.kf_gen[kf_idx], jnp.int32),
-        info=_full_obs_info(cfg, feat.uv_undist, feat.xyz))
+        info=_full_obs_info(cfg, feat.uv_undist, feat.xyz,
+                            _obs_dirs(cfg, jnp.asarray(gray),
+                                      jnp.asarray(depth), feat)))
     K = cfg.map.max_keyframes
     V = cfg.loop_closure.vocab_size
     vocab = bow.make_vocab(V)
@@ -131,14 +133,54 @@ def _obs_info(cfg: SlamConfig) -> float:
     return 1.0 / (sigma * sigma)
 
 
-def _full_obs_info(cfg: SlamConfig, uv, xyz):
+def _full_obs_info(cfg: SlamConfig, uv, xyz, dirs=None):
     """Per-observation 3×3 information matrices from the depth-sensor noise
     model (useUncertainty mode, depthSensorModel.cpp:28-59) — None when the
-    engine runs with scalar weights (add_observations stores zeros)."""
+    engine runs with scalar weights (add_observations stores zeros).
+
+    ``dirs``: optional (N,3) anisotropy directions (surface normals or
+    image-gradient directions, per cfg.map.uncertainty_model) — the
+    covariance is shrunk along them before inversion
+    (depthSensorModel.cpp:62-95). Zero rows leave the sensor model as-is."""
     if not cfg.map.use_uncertainty:
         return None
-    return uncertainty_mod.information_matrix(
-        cfg.camera, uv, jnp.maximum(xyz[..., 2], cfg.camera.min_depth))
+    z = jnp.maximum(xyz[..., 2], cfg.camera.min_depth)
+    cov = uncertainty_mod.point_covariance(cfg.camera, uv, z)
+    if dirs is not None:
+        model = cfg.map.uncertainty_model
+        scale = (cfg.map.scale_uncertainty_normal if model == "normal"
+                 else cfg.map.scale_uncertainty_gradient)
+        shaped = (
+            uncertainty_mod.normal_scaled_covariance(cov, dirs, scale)
+            if model == "normal"
+            else uncertainty_mod.gradient_scaled_covariance(cov, dirs, scale))
+        have = jnp.linalg.norm(dirs, axis=-1) > 1e-6
+        cov = jnp.where(have[:, None, None], shaped, cov)
+    return uncertainty_mod.inv3x3(cov)
+
+
+def _obs_dirs(cfg: SlamConfig, gray, depth, feat: Features):
+    """(N,3) anisotropy directions for the configured uncertainty model
+    (None for the plain sensor model): surface normals sampled at the
+    feature pixels, or lifted image-gradient directions
+    (ops/rgbd.surface_normals / gradient_directions_3d ←
+    depthSensorModel.cpp:62-95, RGBD.cpp:101-187)."""
+    from putslam_tpu.ops import rgbd
+
+    model = cfg.map.uncertainty_model
+    if not cfg.map.use_uncertainty or model == "sensor":
+        return None
+    if model == "normal":
+        nm = rgbd.surface_normals(cfg.camera, depth)            # (H, W, 3)
+        iu = jnp.clip(jnp.round(feat.uv[:, 0]).astype(jnp.int32), 0,
+                      cfg.camera.width - 1)
+        iv = jnp.clip(jnp.round(feat.uv[:, 1]).astype(jnp.int32), 0,
+                      cfg.camera.height - 1)
+        return nm[iv, iu]
+    if model == "gradient":
+        z = jnp.maximum(feat.xyz[..., 2], cfg.camera.min_depth)
+        return rgbd.gradient_directions_3d(cfg.camera, gray, feat.uv, z)
+    raise ValueError(model)
 
 
 def _landmark_indices_for(m: fm.MapState, pose, feat: Features):
@@ -157,6 +199,9 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
               ) -> Tuple[SlamState, SlamOutputs]:
     key, k_vo, k_map = jax.random.split(state.key, 3)
     feat = detect_and_describe(cfg, gray, depth)
+    # anisotropy directions for the observation-uncertainty model (None
+    # unless use_uncertainty with a normal/gradient model)
+    obs_dirs = _obs_dirs(cfg, gray, depth, feat)
 
     # ---- 1. frame-to-frame VO prediction --------------------------------
     # playback mode = the reference's "inverse SLAM problem" (startPlaying,
@@ -188,6 +233,33 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     # search sphere (statically unrolled; each widening is lax.cond-gated so
     # the extra L×N matmul is only paid on the degraded frames)
     def run_guided(scale, key):
+        if cfg.matcher.max_mates > 1:
+            # multi-mate band acceptance (matcher.cpp:734-747): every
+            # landmark contributes up to max_mates candidate pairs and
+            # RANSAC arbitrates — repetitive texture that aliases the
+            # single best mate still yields the right correspondence
+            L = state.map.capacity
+            pr = fm.guided_match_pairs(cfg, state.map, pose_pred, feat,
+                                       radius_scale=scale)
+            p_s = feat.xyz[pr.feat_idx]                           # (P, 3)
+            q_s = state.map.lm_pos[pr.lm_idx]
+            info_s = _full_obs_info(
+                cfg, feat.uv_undist[pr.feat_idx], p_s,
+                None if obs_dirs is None else obs_dirs[pr.feat_idx])
+            res_c = ransac_mod.estimate(
+                cfg.ransac, cfg.camera, key, p_s, q_s, pr.valid, info=info_s)
+            inl = res_c.inliers & pr.valid
+            inliers_L = jnp.zeros((L,), bool).at[pr.lm_idx].max(inl)
+            # representative mate per landmark = best-distance inlier pair
+            bestd = jnp.full((L,), jnp.inf).at[pr.lm_idx].min(
+                jnp.where(inl, pr.dist, jnp.inf))
+            rep = inl & (pr.dist == bestd[pr.lm_idx])
+            fidx_L = jnp.full((L,), -1, jnp.int32).at[pr.lm_idx].max(
+                jnp.where(rep, pr.feat_idx, -1))
+            valid_L = jnp.zeros((L,), bool).at[pr.lm_idx].max(pr.valid)
+            gm_s = fm.GuidedMatchResult(fidx_L, bestd, valid_L,
+                                        pr.n_candidates)
+            return gm_s, res_c._replace(inliers=inliers_L)
         gm_s = fm.guided_match(cfg, state.map, pose_pred, feat,
                                radius_scale=scale)
         # compact the matched pairs to the feature capacity before RANSAC:
@@ -203,7 +275,9 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         q_s = state.map.lm_pos[safe_lm_i]                         # (N, 3)
         # useUncertainty: per-match sensor information feeds the Mahalanobis
         # error model (error_version=3) — None compiles the plain models
-        info_s = _full_obs_info(cfg, feat.uv_undist[idx_s], p_s)
+        info_s = _full_obs_info(
+            cfg, feat.uv_undist[idx_s], p_s,
+            None if obs_dirs is None else obs_dirs[idx_s])
         res_c = ransac_mod.estimate(
             cfg.ransac, cfg.camera, key, p_s, q_s, on, info=info_s)
         # scatter the inlier verdicts back onto the landmark axis
@@ -285,7 +359,9 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
             matched_lm,
             gen=m2.lm_gen,
             kf_gen=jnp.full((m.capacity,), m2.kf_gen[kf_idx_new], jnp.int32),
-            info=_full_obs_info(cfg, feat.uv_undist[fidx_safe], p_cam))
+            info=_full_obs_info(
+                cfg, feat.uv_undist[fidx_safe], p_cam,
+                None if obs_dirs is None else obs_dirs[fidx_safe]))
         # pose-pose odometry edge between consecutive keyframes
         rel_kf = se3.relative(state.last_kf_pose, pose_new)
         add_pp = (n_matched < cfg.map.max_measurements_pose_to_pose) \

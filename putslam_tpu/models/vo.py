@@ -134,7 +134,8 @@ def _detect_for_tracking(cfg: SlamConfig, gray, depth):
     det = cfg.detector
     uv, resp, valid = fast_mod.detect(
         gray, det.fast_threshold, det.nms_radius,
-        det.grid_rows, det.grid_cols, det.max_features)
+        det.grid_rows, det.grid_cols, det.max_features,
+        grid_policy=det.grid_policy)
     z = camera_mod.sample_depth(depth, uv)
     uv_und = camera_mod.undistort_pixels(cfg.camera, uv)
     xyz = camera_mod.unproject(cfg.camera, uv_und, z)

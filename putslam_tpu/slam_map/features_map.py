@@ -93,6 +93,80 @@ class GuidedMatchResult(NamedTuple):
     n_candidates: jnp.ndarray  # () int32 — landmarks that had any candidate
 
 
+def _guided_distances(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
+                      feat: Features, radius_scale: float) -> jnp.ndarray:
+    """The (L, N) gated descriptor-distance matrix shared by the
+    best-per-landmark and multi-mate guided matchers: 3D sphere gate +
+    octave ±window gate + multi-view-slot Hamming via one MXU matmul
+    (matcher.cpp:606-798 semantics). inf where gated out."""
+    mc = cfg.matcher
+    L, D, _ = m.lm_desc.shape
+    N = feat.capacity
+    lm_cam = se3.apply(se3.inverse(pose_guess), m.lm_pos)            # (L, 3)
+    d3 = jnp.linalg.norm(lm_cam[:, None, :] - feat.xyz[None, :, :], axis=-1)
+    radius = mc.matching_xyz_sphere_radius * radius_scale
+    gate = (d3 < radius) & m.lm_valid[:, None] & feat.has_depth[None, :]
+    d_oct = jnp.abs(m.lm_octave[:, None] - feat.octave[None, :])
+    gate &= d_oct <= mc.octave_window
+    dots = jax.lax.dot_general(
+        feat.desc.astype(jnp.bfloat16),
+        m.lm_desc.reshape(L * D, DESC_BITS).astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, L, D)
+    ham = 0.5 * (DESC_BITS - dots)
+    ham = jnp.where(m.lm_slot_used[None, :, :], ham, jnp.inf)
+    desc_dist = jnp.min(ham, axis=-1).T                              # (L, N)
+    return jnp.where(gate, desc_dist, jnp.inf)
+
+
+class GuidedMatchPairs(NamedTuple):
+    """Multi-mate matchXYZ output: a flat (landmark, feature) pair list."""
+
+    lm_idx: jnp.ndarray     # (P,) int32
+    feat_idx: jnp.ndarray   # (P,) int32
+    dist: jnp.ndarray       # (P,) float32
+    valid: jnp.ndarray      # (P,) bool
+    n_candidates: jnp.ndarray  # () int32 landmarks with any candidate
+
+
+def guided_match_pairs(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
+                       feat: Features, radius_scale: float = 1.0
+                       ) -> GuidedMatchPairs:
+    """Band-acceptance multi-mate guided matching (matcher.cpp:734-747: the
+    reference accepts EVERY candidate with ratio·dist ≤ best per map
+    feature, handing RANSAC a richer correspondence set). Per landmark the
+    best ``cfg.matcher.max_mates`` candidates inside the band (and under
+    the absolute Hamming gate) become pairs; the flat pair list is
+    compacted to ``2 × feat.capacity`` entries for the absolute-pose
+    RANSAC."""
+    mc = cfg.matcher
+    L = m.capacity
+    N = feat.capacity
+    k = max(int(mc.max_mates), 1)
+    dist = _guided_distances(cfg, m, pose_guess, feat, radius_scale)
+    finite = jnp.isfinite(dist)
+    best = jnp.min(jnp.where(finite, dist, 1e9), axis=1, keepdims=True)
+    band = finite & (mc.matching_xyz_acceptance_ratio * dist <= best) \
+        & (dist <= mc.max_hamming)
+    negd = jnp.where(band, -dist, -jnp.inf)
+    vals, idxs = jax.lax.top_k(negd, k)                              # (L, k)
+    pair_ok = jnp.isfinite(vals).reshape(-1)                         # (L·k,)
+    pair_lm = jnp.repeat(jnp.arange(L, dtype=jnp.int32), k)
+    pair_feat = idxs.reshape(-1).astype(jnp.int32)
+    pair_dist = (-vals).reshape(-1)
+    P = 2 * N
+    sel = jnp.nonzero(pair_ok, size=P, fill_value=-1)[0]
+    on = sel >= 0
+    safe = jnp.maximum(sel, 0)
+    return GuidedMatchPairs(
+        lm_idx=jnp.where(on, pair_lm[safe], 0),
+        feat_idx=jnp.where(on, pair_feat[safe], 0),
+        dist=jnp.where(on, pair_dist[safe], jnp.inf),
+        valid=on,
+        n_candidates=jnp.sum(jnp.any(finite, axis=1)).astype(jnp.int32))
+
+
 def guided_match(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
                  feat: Features, radius_scale: float = 1.0
                  ) -> GuidedMatchResult:
@@ -109,33 +183,7 @@ def guided_match(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
     of findNearestFrame, featuresMap.cpp:528-563).
     """
     mc = cfg.matcher
-    L, D, _ = m.lm_desc.shape
-    N = feat.capacity
-
-    # landmarks in current camera frame under the pose guess
-    lm_cam = se3.apply(se3.inverse(pose_guess), m.lm_pos)            # (L, 3)
-
-    # 3D sphere gate against every frame feature
-    d3 = jnp.linalg.norm(lm_cam[:, None, :] - feat.xyz[None, :, :], axis=-1)
-    radius = mc.matching_xyz_sphere_radius * radius_scale
-    gate = (d3 < radius) & m.lm_valid[:, None] & feat.has_depth[None, :]
-
-    # octave gate ±octave_window (matcher.cpp:699-711)
-    d_oct = jnp.abs(m.lm_octave[:, None] - feat.octave[None, :])
-    gate &= d_oct <= mc.octave_window
-
-    # descriptor distances: (N, 256) x (256, L*D) on the MXU, min over slots
-    dots = jax.lax.dot_general(
-        feat.desc.astype(jnp.bfloat16),
-        m.lm_desc.reshape(L * D, DESC_BITS).astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(N, L, D)                                               # (N, L, D)
-    ham = 0.5 * (DESC_BITS - dots)
-    ham = jnp.where(m.lm_slot_used[None, :, :], ham, jnp.inf)
-    desc_dist = jnp.min(ham, axis=-1).T                              # (L, N)
-
-    dist = jnp.where(gate, desc_dist, jnp.inf)
+    dist = _guided_distances(cfg, m, pose_guess, feat, radius_scale)  # (L, N)
     best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)            # (L,)
     if mc.acceptance == "ratio":
         # ratio-of-best (matcher.cpp:734-747): the winner must beat the

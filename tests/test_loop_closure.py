@@ -8,6 +8,9 @@ trajectory whose return leg retraces the outbound viewpoints — the ATE drop
 when loop closure is enabled is asserted, not assumed.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import dataclasses
 
 import jax

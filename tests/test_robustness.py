@@ -8,6 +8,9 @@ runs so silent regressions fail loudly instead of hiding behind loose
 per-test thresholds.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import dataclasses
 import json
 import os

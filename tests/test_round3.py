@@ -11,6 +11,7 @@ final full-graph optimization before export (src/Map/featuresMap.cpp:980-1025).
 """
 
 import dataclasses
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,7 @@ def test_stale_edges_masked_after_ring_wrap():
     assert abs(float(res.lm_pos[0, 0])) < 1.0  # not dragged to x=55
 
 
+@pytest.mark.slow
 def test_slam_survives_keyframe_ring_wrap():
     """End-to-end: a run producing more keyframes than the ring capacity must
     stay consistent (the round-2 engine silently re-bound old edges to the
@@ -304,6 +306,7 @@ def test_anisotropic_information_shapes_solution():
     assert abs(z - (100 * 2.0 + 2.4) / 101.0) < 0.01, z
 
 
+@pytest.mark.slow
 def test_slam_runs_with_uncertainty_enabled():
     cfg = small_slam_cfg()
     cfg = cfg.replace(
@@ -341,6 +344,7 @@ def test_guided_match_radius_scale_recovers_offset():
     assert int(np.asarray(gm4.valid).sum()) > 20
 
 
+@pytest.mark.slow
 def test_retry_ladder_recovers_degraded_frame():
     """With the ladder enabled a badly predicted pose still yields a map fix
     (PUTSLAM.cpp:788-798); with retries disabled the same frame fails."""
@@ -414,6 +418,7 @@ def test_check_trajectory_repairs_diverged_keyframe():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_final_optimization_and_reanchoring():
     cfg = small_slam_cfg()
     poses_gt = synthetic.orbit_trajectory(30, radius=0.15, yaw_amp=0.15)
