@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -95,11 +96,24 @@ def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
     matrices (useUncertainty mode, depthSensorModel.cpp:48-59)."""
     M = g.obs_capacity
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    # allocation order: invalid slots first (key −1), then oldest by append
-    # sequence — one argsort over the store per call (keyframe steps only)
-    key = jnp.where(g.obs_valid, g.obs_seq, -1)
-    order = jnp.argsort(key).astype(jnp.int32)                # (M,)
-    slot = order[jnp.clip(rank, 0, M - 1)]
+    n_new = jnp.sum(mask.astype(jnp.int32))
+
+    # Until the store has ever filled, the plain append cursor IS the
+    # dead-first order (every slot at/after the cursor is unwritten), so the
+    # argsort allocator — a full 8192-element sort — only runs once
+    # allocation could actually overwrite something (lax.cond keeps it off
+    # the hot path for the entire pre-wrap life of a run).
+    def _cursor_slots(_):
+        return jnp.mod(g.n_obs + rank, M).astype(jnp.int32)
+
+    def _sorted_slots(_):
+        # invalid slots first (key −1), then oldest by append sequence
+        key = jnp.where(g.obs_valid, g.obs_seq, -1)
+        order = jnp.argsort(key).astype(jnp.int32)            # (M,)
+        return order[jnp.clip(rank, 0, M - 1)]
+
+    slot = jax.lax.cond(g.n_obs + n_new >= M, _sorted_slots, _cursor_slots,
+                        None)
     # unmasked lanes write to index M: out-of-bounds scatters are *dropped*
     # (JAX .at default mode) — clipping them to M−1 instead would race a
     # genuine masked write targeting that slot (unspecified winner)

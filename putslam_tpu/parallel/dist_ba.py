@@ -13,10 +13,16 @@ The (K·6)² reduced system is then solved identically on every device
 landmark block. Per-device memory and the dominant matmul scale as 1/ndev;
 the all-reduce payload is the (K·6)² matrix, independent of the map size.
 
-Observation ownership: landmark block = index ÷ (L/ndev). Every device scans
-the full edge list but only accumulates edges whose landmark it owns (edge
-metadata is tiny compared to the Schur product). Pose-pose edges are
-assembled on every device identically (they are K-sized, not L-sized).
+Observation ownership: landmark block = index ÷ (L/ndev). The edge store is
+*partitioned by owner* before the shard_map — each device receives only a
+(2·M/ndev)-slot slice holding its own edges (stable argsort by owner, one
+gather), so per-device assembly work, the per-observation einsums, AND the
+one-hot Schur coupling all scale as 1/ndev, not just the Schur product. A
+device owning more than its 2× slack slice drops the overflow edges from
+that call (the partition is near-balanced by construction — landmark slots
+are allocated round-robin); ``partition_overflow`` reports the dropped
+count for observability. Pose-pose edges are assembled on device 0
+(K-sized, tiny) and psum'd.
 """
 
 from __future__ import annotations
@@ -35,6 +41,21 @@ from putslam_tpu.backend.optimize import schur_subtrahend_mm
 from putslam_tpu.config import BackendConfig, CameraConfig
 from putslam_tpu.geometry import se3
 from putslam_tpu.geometry.uncertainty import chol3x3, inv3x3
+
+
+def partition_overflow(g: GraphState, ndev: int, L: int) -> int:
+    """Edges dropped by the 2×-slack owner partition for this graph state
+    (0 in balanced conditions) — check before trusting a sharded solve on a
+    pathologically skewed edge distribution."""
+    import numpy as np
+
+    Ls = L // ndev
+    M = g.obs_kf.shape[0]
+    Ms = min(M, max(8, (2 * M) // ndev))
+    owner = np.where(np.asarray(g.obs_valid),
+                     np.asarray(g.obs_lm) // Ls, ndev)
+    counts = np.bincount(owner, minlength=ndev + 1)[:ndev]
+    return int(np.maximum(counts - Ms, 0).sum())
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1), static_argnames=("cam",))
@@ -61,29 +82,61 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
     lm_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def body(kf_pose, lm_pos_l, lm_valid_l, lm_gen_l, g, fixed_kf, kf_valid,
-             kf_gen):
-        """shard_map body: lm_* are local (Ls,...) blocks; rest replicated."""
+    # --- partition the edge store by owning device (stable argsort by
+    # owner + one gather) so each device ships and scans only its slice ---
+    M = g.obs_kf.shape[0]
+    Ms = min(M, max(8, (2 * M) // ndev))            # 2× slack per device
+    owner = jnp.where(g.obs_valid, g.obs_lm // Ls, ndev)
+    order = jnp.argsort(owner, stable=True).astype(jnp.int32)
+    counts = jnp.bincount(owner, length=ndev + 1)[:ndev]        # (ndev,)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    jj = jnp.arange(Ms)
+    take = jnp.clip(starts[:, None] + jj[None, :], 0, M - 1)    # (ndev, Ms)
+    inb = jj[None, :] < counts[:, None]
+    idx = order[take]                                           # (ndev, Ms)
+
+    def _part(x):
+        return x[idx]                                           # (ndev, Ms, ...)
+
+    p_kf = _part(g.obs_kf)
+    p_xyz = _part(g.obs_xyz)
+    p_w = _part(g.obs_w)
+    p_gen = _part(g.obs_gen)
+    p_kfgen = _part(g.obs_kfgen)
+    p_info = _part(g.obs_info)
+    p_lm_local = _part(g.obs_lm) - (jnp.arange(ndev)[:, None] * Ls)
+    p_valid = inb & _part(g.obs_valid)
+
+    def body(kf_pose, lm_pos_l, lm_valid_l, lm_gen_l,
+             p_kf, p_lm_local, p_xyz, p_w, p_gen, p_kfgen, p_info, p_valid,
+             g, fixed_kf, kf_valid, kf_gen):
+        """shard_map body: lm_* are local (Ls,...) landmark blocks, p_* are
+        this device's (Ms,...) edge slice; the rest replicated."""
         my = jax.lax.axis_index(axis)
-        base = my * Ls
+        p_kf, p_lm_local, p_xyz, p_w, p_gen, p_kfgen, p_info, p_valid = (
+            a[0] for a in (p_kf, p_lm_local, p_xyz, p_w, p_gen, p_kfgen,
+                           p_info, p_valid))
 
         def iteration(carry, _):
             kf_pose, lm_pos_l = carry
-            # --- landmark-observation factors, masked to owned landmarks --
-            local_lm = g.obs_lm - base                      # (M,)
-            owned = (local_lm >= 0) & (local_lm < Ls)
-            safe_lm = jnp.clip(local_lm, 0, Ls - 1)
-            kf_p = kf_pose[g.obs_kf]
+            # --- this device's own observation factors --------------------
+            safe_lm = jnp.clip(p_lm_local, 0, Ls - 1)
+            kf_p = kf_pose[p_kf]
             lm_p = lm_pos_l[safe_lm]
             r, Jp, Jl = factors.assemble_obs_terms(
-                kf_p, lm_p, g.obs_xyz, bcfg.error_type, fu, fv)
-            gate = (g.obs_valid & owned & lm_valid_l[safe_lm]
-                    & (g.obs_gen == lm_gen_l[safe_lm])
-                    & (g.obs_kfgen == kf_gen[g.obs_kf]))
+                kf_p, lm_p, p_xyz, bcfg.error_type, fu, fv)
+            gate = (p_valid & lm_valid_l[safe_lm]
+                    & (p_gen == lm_gen_l[safe_lm])
+                    & (p_kfgen == kf_gen[p_kf]))
             if bcfg.use_obs_info and bcfg.error_type == 0:
-                from putslam_tpu.backend.optimize import _whitening_chol
-
-                Lw = _whitening_chol(g, kf_pose.dtype)
+                from putslam_tpu.geometry.uncertainty import chol3x3 as _c3
+                tr = (p_info[..., 0, 0] + p_info[..., 1, 1]
+                      + p_info[..., 2, 2])
+                scalar = jnp.sqrt(jnp.maximum(p_w, 0.0))[:, None, None] \
+                    * jnp.eye(3, dtype=kf_pose.dtype)
+                Lw = jnp.where((tr > 0.0)[:, None, None], _c3(p_info),
+                               scalar)
                 r = jnp.einsum("msr,ms->mr", Lw, r)
                 Jp = jnp.einsum("msr,msj->mrj", Lw, Jp)
                 Jl = jnp.einsum("msr,msj->mrj", Lw, Jl)
@@ -92,7 +145,7 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
                 w_info = gate.astype(kf_pose.dtype) \
                     / (bcfg.obs_pixel_sigma ** 2)
             else:
-                w_info = g.obs_w * gate
+                w_info = p_w * gate
             sq = w_info * jnp.sum(r * r, axis=-1)
             w = w_info * factors.robust_weight(sq, bcfg.robust_kernel,
                                                bcfg.robust_delta)
@@ -105,9 +158,9 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
             bl = -jnp.einsum("m,mri,mr->mi", w, Jl, r)
 
             H_cc_part = jnp.zeros((K, K, 6, 6), kf_pose.dtype)
-            H_cc_part = H_cc_part.at[g.obs_kf, g.obs_kf].add(JpT_Jp)
+            H_cc_part = H_cc_part.at[p_kf, p_kf].add(JpT_Jp)
             H_ll = jnp.zeros((Ls, 3, 3), kf_pose.dtype).at[safe_lm].add(JlT_Jl)
-            b_c_part = jnp.zeros((K, 6), kf_pose.dtype).at[g.obs_kf].add(bp)
+            b_c_part = jnp.zeros((K, 6), kf_pose.dtype).at[p_kf].add(bp)
             b_l = jnp.zeros((Ls, 3), kf_pose.dtype).at[safe_lm].add(bl)
 
             # --- pose-pose edges: only on device 0 (then psum'd) ----------
@@ -146,12 +199,12 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
             Linv = chol3x3(H_ll_inv)
             F = jnp.einsum("mia,mab->mib", C, Linv[safe_lm])
             S_part = (H_cc_part.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-                      - schur_subtrahend_mm(g.obs_kf, safe_lm, F, K, Ls))
+                      - schur_subtrahend_mm(p_kf, safe_lm, F, K, Ls))
             # exact f32 gradient of the reduced system (per-obs products)
             t = jnp.einsum("lab,lb->la", H_ll_inv, b_l)      # (Ls, 3)
             c_m = jnp.einsum("mia,ma->mi", C, t[safe_lm])    # (M, 6)
             b_part = (b_c_part
-                      - jnp.zeros((K, 6), kf_pose.dtype).at[g.obs_kf].add(c_m)
+                      - jnp.zeros((K, 6), kf_pose.dtype).at[p_kf].add(c_m)
                       ).reshape(K * 6)
 
             S = jax.lax.psum(S_part, axis)                 # (K6, K6) — tiny
@@ -172,7 +225,7 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
             dc = jnp.where(jnp.all(jnp.abs(dc) < 1e3), dc, 0.0)
 
             # --- local landmark back-substitution (per-obs products) ------
-            u_m = jnp.einsum("mia,mi->ma", C, dc.reshape(K, 6)[g.obs_kf])
+            u_m = jnp.einsum("mia,mi->ma", C, dc.reshape(K, 6)[p_kf])
             Hlc_dc = jnp.zeros((Ls, 3), kf_pose.dtype).at[safe_lm].add(u_m)
             dl = jnp.einsum("lab,lb->la", H_ll_inv, b_l - Hlc_dc)
             dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
@@ -189,7 +242,10 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
 
     sharded = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis),
+                  P(), P(), P(), P()),
         out_specs=(P(), P(axis), P()),
     )
     kf_out, lm_out, chi2s = sharded(
@@ -197,6 +253,7 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
         jax.device_put(lm_pos, lm_sharding),
         jax.device_put(lm_valid, lm_sharding),
         jax.device_put(lm_gen, lm_sharding),
+        p_kf, p_lm_local, p_xyz, p_w, p_gen, p_kfgen, p_info, p_valid,
         jax.device_put(g, repl),
         jax.device_put(fixed_kf, repl),
         jax.device_put(kf_valid, repl),

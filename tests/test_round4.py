@@ -213,6 +213,34 @@ def test_slam_survives_obs_ring_wrap():
 
 
 # ---------------------------------------------------------------------------
+# golden acceptance gates: the committed 640-frame file-played results must
+# stay inside the pinned bounds (regenerate via ACCEPTANCE_r04.json's
+# "reproduce" commands; scored by the reference's own eval scripts)
+# ---------------------------------------------------------------------------
+
+
+def test_acceptance_record_within_golden_bounds():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ACCEPTANCE_r04.json")
+    rec = json.load(open(path))
+    b = rec["golden_bounds"]
+    ds = rec["datasets"]
+    assert ds["clean"]["ref_ate_rmse_g2o_m"] <= b["clean_ate_max_m"]
+    assert ds["noisy"]["ref_ate_rmse_g2o_m"] <= b["noisy_ate_max_m"]
+    assert ds["hard"]["ref_ate_rmse_g2o_m"] <= b["hard_ate_max_m"]
+    for d in ds.values():
+        assert d["frames"] >= 600
+        # final optimization must not be worse than the pre-final trajectory
+        assert d["ref_ate_rmse_g2o_m"] <= d["ref_ate_rmse_VO_m"] + 1e-6
+    # cross-eval parity: our ATE equals the reference script's
+    assert abs(ds["clean"]["our_ate_rmse_g2o_m"]
+               - ds["clean"]["ref_ate_rmse_g2o_m"]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
 # multi-mate guided matching (band acceptance)
 # ---------------------------------------------------------------------------
 

@@ -66,7 +66,10 @@ def run(kind: str, argv, capture: bool = False):
 def evaluate(kind: str, gt_file: str, est_file: str, extra=()):
     """Programmatic entry: returns the script's stdout (float on the first
     line for the default non-verbose mode)."""
-    rc, out, err = run(kind, [gt_file, est_file, *extra], capture=True)
+    # the scripts execute with cwd inside the temp dir — absolutize paths
+    rc, out, err = run(kind, [os.path.abspath(gt_file),
+                              os.path.abspath(est_file), *extra],
+                       capture=True)
     if rc != 0:
         raise RuntimeError(f"reference {kind} eval failed: {err.strip()}")
     return out
