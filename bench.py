@@ -15,11 +15,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Detail (VO-only fps, per-frame ms, BA cadence, ATE sanity) goes to stderr
 and BENCH_DETAIL.json. Per-stage device times: tools/profile_slam.py.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); PUTSLAM-class
-feature SLAM runs ≈30 fps on desktop CPU (its real-time design point — the
-reference drops frames to keep up with the 30 Hz TUM stream,
-fileGrabber.cpp:40-160). 30 fps is the baseline denominator until the
-reference is built & measured; the north-star target is vs_baseline ≥ 10.
+vs_baseline: the reference was BUILT AND MEASURED on this machine in round 4
+(BASELINE.md): 2.04 fps end-to-end on the identical 640-frame disk sequence
+(fps.res, its own default operating point). That measured number is the
+denominator. The reference's *published design point* is ~30 Hz real-time on
+a desktop CPU with frame dropping; the ratio against that assumption is
+reported as vs_design_point in BENCH_DETAIL for context.
 """
 
 import json
@@ -35,7 +36,8 @@ from putslam_tpu.eval import ate
 from putslam_tpu.io import synthetic
 from putslam_tpu.models import slam, vo
 
-REFERENCE_FPS = 30.0
+REFERENCE_FPS = 2.04       # measured: reference binary on this host (BASELINE.md)
+DESIGN_POINT_FPS = 30.0    # the reference's published real-time design point
 N_FRAMES = 64
 N_TIMED_REPS = 4   # sequential runs per timing, fetch once (the device
                    # stream executes in order, so the final fetch fences all
@@ -96,6 +98,8 @@ def main():
         "n_landmarks": int(np.asarray(st.map.lm_valid).sum()),
         "ate_rmse_m": round(float(ate_m), 5),
         "frames": N_FRAMES,
+        "vs_measured_reference": round(slam_fps / REFERENCE_FPS, 2),
+        "vs_design_point_30fps": round(slam_fps / DESIGN_POINT_FPS, 2),
         "solver": cfg.backend.solver,
         "note": "synthetic 640x480 orbit; every-frame-keyframe worst case "
                 "(covisibility drops each frame), BA every 5 keyframes",
