@@ -555,7 +555,7 @@ def _to_device_float(cfg: SlamConfig, g, d):
 
 
 def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0,
-             chunk_size: int = 0):
+             chunk_size: int = 0, archive=None):
     """Host wrapper: returns (poses (T,7) numpy, outputs, final_state).
 
     ``chunk_size`` > 0 streams the sequence through the jitted scan in
@@ -563,7 +563,13 @@ def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0,
     copies of the last frame and the padded steps trimmed from the outputs
     — static frames produce identity VO and no keyframes, so the map state
     is not perturbed). This is how full-length (≥600-frame) file-played
-    sequences run without staging the whole image stack on the device."""
+    sequences run without staging the whole image stack on the device.
+
+    ``archive``: optional ``slam_map.archive.MapArchive`` absorbed at every
+    chunk boundary (and at the end) — preserves ring-evicted history for
+    the offline global bundle adjustment. Chunk size must keep per-chunk
+    appends below the ring capacities (64-frame chunks comfortably do at
+    the fr1 operating point)."""
     import numpy as np
 
     T = len(grays)
@@ -575,6 +581,8 @@ def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0,
             np.asarray(init_pose if init_pose is not None
                        else se3.identity())[None],
             np.asarray(outs.pose)], axis=0)
+        if archive is not None:
+            archive.absorb(state)
         return poses, jax.tree.map(np.asarray, outs), state
 
     g0, d0 = _to_device_float(cfg, grays[0], depths[0])
@@ -591,6 +599,8 @@ def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0,
         gj, dj = _to_device_float(cfg, gc, dc)
         state, outs = slam_sequence(cfg, state, gj, dj)
         outs_chunks.append(jax.tree.map(np.asarray, outs))
+        if archive is not None:
+            archive.absorb(state)
     outs_all = jax.tree.map(lambda *xs: np.concatenate(xs)[:T - 1],
                             *outs_chunks)
     poses = np.concatenate([
@@ -729,6 +739,38 @@ def reanchor_trajectory(state: SlamState, outs: SlamOutputs):
     suffix = se3.compose(se3.inverse(outs.anchor_pose), outs.pose)
     corrected = se3.compose(kf_now, suffix)
     return jnp.where(still_same[:, None], corrected, outs.pose)
+
+
+def run_slam_global(cfg: SlamConfig, grays, depths, init_pose=None,
+                    seed: int = 0, chunk_size: int = 64, **gba_kw):
+    """run_slam + host map archive + OFFLINE GLOBAL bundle adjustment over
+    the full archived graph (the reference's end-of-run restoreFrames +
+    full optimization, featuresMap.cpp:980-1025 — but over ALL history,
+    surviving device-ring evictions on long sequences).
+
+    Returns (poses_before (T,7), poses_after (T,7), outputs, final_state,
+    archive)."""
+    import numpy as np
+
+    from putslam_tpu.slam_map.archive import MapArchive, global_bundle_adjust
+
+    archive = MapArchive()
+    poses_before, outs, state = run_slam(cfg, grays, depths, init_pose, seed,
+                                         chunk_size=chunk_size,
+                                         archive=archive)
+    kf_polished = global_bundle_adjust(cfg, archive, **gba_kw)
+    # rebuild the per-frame trajectory on the polished keyframes:
+    # pose = polished(anchor_seq) ∘ (anchor_pose⁻¹ ∘ pose)
+    seqs = np.asarray(outs.anchor_seq)
+    good = (seqs >= 0) & (seqs < len(kf_polished))
+    kf_new = jnp.asarray(kf_polished[np.clip(seqs, 0,
+                                             max(len(kf_polished) - 1, 0))])
+    suffix = se3.compose(se3.inverse(jnp.asarray(outs.anchor_pose)),
+                         jnp.asarray(outs.pose))
+    corrected = np.asarray(se3.compose(kf_new, suffix))
+    poses_after = np.where(good[:, None], corrected, np.asarray(outs.pose))
+    poses_after = np.concatenate([poses_before[:1], poses_after], axis=0)
+    return poses_before, poses_after, outs, state, archive
 
 
 def run_slam_final(cfg: SlamConfig, grays, depths, init_pose=None,

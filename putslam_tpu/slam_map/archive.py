@@ -1,0 +1,267 @@
+"""Host-side map archive + offline global bundle adjustment.
+
+The in-loop engine runs on fixed-capacity device rings (keyframes K,
+landmarks L, observations M) — on long sequences the rings wrap and evicted
+history is gone from the device state. The reference never forgets: g2o
+keeps every vertex/edge, marginalization only *fixes* them, and the end-of-
+run optimization releases and polishes the whole graph
+(featuresMap.cpp:980-1025, restoreFrames :1624-1643, graph_g2o.cpp:873-933).
+
+This module reproduces that contract TPU-natively:
+
+* ``MapArchive.absorb(state)`` — called once per streamed chunk on the host
+  (the chunk boundary is already a host sync) — snapshots every live
+  keyframe/landmark and the edges appended since the last absorb. Slot
+  recycling is undone by keying on (slot, generation): each generation of a
+  ring slot is its own global vertex. Cost: ~1–2 MB of device→host fetch
+  per chunk (the arrays are the small ring stores, never images).
+* ``global_bundle_adjust`` — offline polish of the full archived graph by
+  overlapping windowed sweeps of the production dense-Schur-MM solver:
+  each window's subproblem (free keyframes + the frozen keyframes and
+  landmarks that anchor it) is assembled on the host into fixed-shape
+  padded arrays, so every sweep reuses ONE compiled program. Back-to-front
+  sweeps with 50 % overlap propagate corrections along the trajectory the
+  way g2o's global pass does, without ever materializing a (6·K_total)²
+  system or an (M_total × 18·K_total) coupling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class MapArchive:
+    """Append-only host archive of the SLAM graph across ring evictions."""
+
+    def __init__(self):
+        self.kf_pose: Dict[int, np.ndarray] = {}     # seq -> (7,)
+        self._kf_of: Dict[Tuple[int, int], int] = {} # (slot, gen) -> seq
+        self.lm_pos: Dict[int, np.ndarray] = {}      # global lm id -> (3,)
+        self._lm_of: Dict[Tuple[int, int], int] = {} # (slot, gen) -> id
+        self.obs: List[Tuple[int, int, np.ndarray, float, np.ndarray]] = []
+        self.pp: List[Tuple[int, int, np.ndarray, float]] = []
+        self._n_obs_seen = 0
+        self._n_pp_seen = 0
+
+    # -- helpers ----------------------------------------------------------
+    def _lm_id(self, slot: int, gen: int) -> int:
+        key = (slot, gen)
+        if key not in self._lm_of:
+            self._lm_of[key] = len(self._lm_of)
+        return self._lm_of[key]
+
+    def absorb(self, state) -> None:
+        """Snapshot live vertices + newly appended edges from a SlamState."""
+        m, g = state.map, state.graph
+        kf_seq = np.asarray(m.kf_seq)
+        kf_gen = np.asarray(m.kf_gen)
+        kf_valid = np.asarray(m.kf_valid)
+        kf_pose = np.asarray(m.kf_pose)
+        for slot in np.nonzero(kf_valid)[0]:
+            seq = int(kf_seq[slot])
+            self.kf_pose[seq] = kf_pose[slot].copy()
+            self._kf_of[(int(slot), int(kf_gen[slot]))] = seq
+
+        lm_valid = np.asarray(m.lm_valid)
+        lm_gen = np.asarray(m.lm_gen)
+        lm_pos = np.asarray(m.lm_pos)
+        for slot in np.nonzero(lm_valid)[0]:
+            gid = self._lm_id(int(slot), int(lm_gen[slot]))
+            self.lm_pos[gid] = lm_pos[slot].copy()
+
+        # new observations since the last absorb, by append sequence number
+        obs_seq = np.asarray(g.obs_seq)
+        n_now = int(np.asarray(g.n_obs))
+        fresh = (obs_seq >= self._n_obs_seen) & np.asarray(g.obs_valid)
+        if fresh.any():
+            o_kf = np.asarray(g.obs_kf)[fresh]
+            o_kfg = np.asarray(g.obs_kfgen)[fresh]
+            o_lm = np.asarray(g.obs_lm)[fresh]
+            o_g = np.asarray(g.obs_gen)[fresh]
+            o_xyz = np.asarray(g.obs_xyz)[fresh]
+            o_w = np.asarray(g.obs_w)[fresh]
+            o_info = np.asarray(g.obs_info)[fresh]
+            order = np.argsort(obs_seq[fresh])
+            for i in order:
+                kf_key = (int(o_kf[i]), int(o_kfg[i]))
+                seq = self._kf_of.get(kf_key)
+                if seq is None:
+                    continue
+                gid = self._lm_id(int(o_lm[i]), int(o_g[i]))
+                self.obs.append((seq, gid, o_xyz[i].copy(), float(o_w[i]),
+                                 o_info[i].copy()))
+        self._n_obs_seen = n_now
+
+        # new pose-pose edges (plain cursor ring)
+        n_pp = int(np.asarray(g.n_pp))
+        E = g.pp_capacity
+        if n_pp > self._n_pp_seen:
+            pp_i = np.asarray(g.pp_i)
+            pp_j = np.asarray(g.pp_j)
+            pp_gi = np.asarray(g.pp_gen_i)
+            pp_gj = np.asarray(g.pp_gen_j)
+            pp_rel = np.asarray(g.pp_rel)
+            pp_w = np.asarray(g.pp_w)
+            pp_valid = np.asarray(g.pp_valid)
+            for n in range(max(self._n_pp_seen, n_pp - E), n_pp):
+                s = n % E
+                if not pp_valid[s]:
+                    continue
+                si = self._kf_of.get((int(pp_i[s]), int(pp_gi[s])))
+                sj = self._kf_of.get((int(pp_j[s]), int(pp_gj[s])))
+                if si is None or sj is None:
+                    continue
+                self.pp.append((si, sj, pp_rel[s].copy(), float(pp_w[s])))
+        self._n_pp_seen = n_pp
+
+    # -- dense views ------------------------------------------------------
+    def n_keyframes(self) -> int:
+        return len(self.kf_pose)
+
+    def dense(self):
+        """(kf_pose (N,7) by seq, obs arrays, pp arrays) as numpy."""
+        n = self.n_keyframes()
+        kf = np.zeros((n, 7), np.float32)
+        kf[:, 3] = 1.0
+        for seq, p in self.kf_pose.items():
+            if 0 <= seq < n:
+                kf[seq] = p
+        L = len(self._lm_of)
+        lm = np.zeros((L, 3), np.float32)
+        for gid, p in self.lm_pos.items():
+            lm[gid] = p
+        obs_kf = np.array([o[0] for o in self.obs], np.int32)
+        obs_lm = np.array([o[1] for o in self.obs], np.int32)
+        obs_xyz = np.stack([o[2] for o in self.obs]) if self.obs else \
+            np.zeros((0, 3), np.float32)
+        obs_w = np.array([o[3] for o in self.obs], np.float32)
+        obs_info = np.stack([o[4] for o in self.obs]) if self.obs else \
+            np.zeros((0, 3, 3), np.float32)
+        pp_i = np.array([p[0] for p in self.pp], np.int32)
+        pp_j = np.array([p[1] for p in self.pp], np.int32)
+        pp_rel = np.stack([p[2] for p in self.pp]) if self.pp else \
+            np.zeros((0, 7), np.float32)
+        pp_w = np.array([p[3] for p in self.pp], np.float32)
+        return (kf, lm, (obs_kf, obs_lm, obs_xyz, obs_w, obs_info),
+                (pp_i, pp_j, pp_rel, pp_w))
+
+
+def _pad_to(x: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + x.shape[1:], fill, x.dtype)
+    out[:len(x)] = x[:n]
+    return out
+
+
+def global_bundle_adjust(cfg, archive: MapArchive,
+                         window: int = 192, kf_cap: int = 384,
+                         lm_cap: int = 4096, obs_cap: int = 32768,
+                         pp_cap: int = 2048, sweeps: int = 2,
+                         gn_iterations: int = 8):
+    """Offline full-graph polish by overlapping windowed sweeps.
+
+    Returns (kf_pose_polished (N,7) indexed by keyframe seq). Each sweep
+    walks windows back-to-front with 50 % overlap; a window's subproblem =
+    its free keyframes + every observation of any landmark they observe
+    (including from frozen keyframes — the anchors), padded to fixed shapes
+    so all windows share one compiled solver program."""
+    import jax.numpy as jnp
+
+    from putslam_tpu.backend import graph as graph_mod
+    from putslam_tpu.backend import optimize as opt_mod
+
+    kf, lm, (obs_kf, obs_lm, obs_xyz, obs_w, obs_info), \
+        (pp_i, pp_j, pp_rel, pp_w) = archive.dense()
+    N = len(kf)
+    if N == 0 or len(obs_kf) == 0:
+        return kf
+    lm = lm.copy()
+
+    bcfg = dataclasses.replace(
+        cfg.backend, gn_iterations=gn_iterations, ba_window=window,
+        ba_lm_block=0, max_observations=obs_cap, max_pose_pose_edges=pp_cap)
+
+    starts: List[int] = []
+    a = max(0, N - window)
+    while True:
+        starts.append(a)
+        if a == 0:
+            break
+        a = max(0, a - window // 2)
+
+    for _ in range(sweeps):
+        for a in starts:
+            b = min(a + window, N)
+            in_win = (obs_kf >= a) & (obs_kf < b)
+            lm_set = np.unique(obs_lm[in_win])[:lm_cap]
+            lm_map = {int(g): i for i, g in enumerate(lm_set)}
+            sel = np.isin(obs_lm, lm_set)
+            sel_idx = np.nonzero(sel)[0][:obs_cap]
+            if len(sel_idx) == 0:
+                continue
+            kf_used = np.unique(obs_kf[sel_idx])
+            # free window keyframes first, then frozen anchors, cap kf_cap
+            free_k = kf_used[(kf_used >= a) & (kf_used < b)]
+            froz_k = kf_used[(kf_used < a) | (kf_used >= b)]
+            if len(free_k) == 0:
+                continue
+            kf_list = np.concatenate([free_k, froz_k])[:kf_cap]
+            free_k = free_k[:kf_cap]
+            kf_map = {int(s): i for i, s in enumerate(kf_list)}
+            keep = np.array([int(obs_kf[i]) in kf_map for i in sel_idx])
+            sel_idx = sel_idx[keep]
+            if len(sel_idx) == 0:
+                continue
+
+            K = kf_cap
+            o_n = len(sel_idx)
+            g = graph_mod.init_graph(obs_cap, pp_cap)
+            g = g._replace(
+                obs_kf=jnp.asarray(_pad_to(np.array(
+                    [kf_map[int(s)] for s in obs_kf[sel_idx]], np.int32), obs_cap)),
+                obs_lm=jnp.asarray(_pad_to(np.array(
+                    [lm_map[int(s)] for s in obs_lm[sel_idx]], np.int32), obs_cap)),
+                obs_xyz=jnp.asarray(_pad_to(obs_xyz[sel_idx], obs_cap)),
+                obs_w=jnp.asarray(_pad_to(obs_w[sel_idx], obs_cap)),
+                obs_info=jnp.asarray(_pad_to(obs_info[sel_idx], obs_cap)),
+                obs_valid=jnp.asarray(
+                    np.arange(obs_cap) < o_n),
+                n_obs=jnp.int32(o_n))
+            # pose-pose edges with both ends present
+            pp_keep = np.array([int(i) in kf_map and int(j) in kf_map
+                                for i, j in zip(pp_i, pp_j)], bool) \
+                if len(pp_i) else np.zeros((0,), bool)
+            pn = int(pp_keep.sum())
+            if pn:
+                g = g._replace(
+                    pp_i=jnp.asarray(_pad_to(np.array(
+                        [kf_map[int(s)] for s in pp_i[pp_keep]], np.int32), pp_cap)),
+                    pp_j=jnp.asarray(_pad_to(np.array(
+                        [kf_map[int(s)] for s in pp_j[pp_keep]], np.int32), pp_cap)),
+                    pp_rel=jnp.asarray(_pad_to(pp_rel[pp_keep], pp_cap)),
+                    pp_w=jnp.asarray(_pad_to(pp_w[pp_keep], pp_cap)),
+                    pp_valid=jnp.asarray(np.arange(pp_cap) < min(pn, pp_cap)),
+                    n_pp=jnp.int32(min(pn, pp_cap)))
+
+            kf_sub = _pad_to(kf[kf_list], K)
+            kf_sub[len(kf_list):, 3] = 1.0
+            kf_valid = np.arange(K) < len(kf_list)
+            frozen = np.ones((K,), bool)
+            frozen[:len(free_k)] = False
+            if a == 0:
+                frozen[0] = True  # gauge: fix keyframe 0 in the oldest window
+            lm_sub = _pad_to(lm[lm_set], lm_cap)
+            lm_valid = np.arange(lm_cap) < len(lm_set)
+
+            res = opt_mod.gauss_newton_mm(
+                bcfg, jnp.asarray(kf_sub), jnp.asarray(kf_valid),
+                jnp.asarray(lm_sub), jnp.asarray(lm_valid), g,
+                jnp.asarray(frozen), cam=cfg.camera)
+            kf_out = np.asarray(res.kf_pose)
+            lm_out = np.asarray(res.lm_pos)
+            nfree = len(free_k)
+            kf[free_k] = kf_out[:nfree]
+            lm[lm_set] = lm_out[:len(lm_set)]
+    return kf

@@ -213,6 +213,45 @@ def test_slam_survives_obs_ring_wrap():
 
 
 # ---------------------------------------------------------------------------
+# host map archive + offline global bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_archive_preserves_evicted_history_and_global_ba_polishes():
+    """Small rings forced to wrap: the archive must retain every keyframe
+    ever created (the device ring forgets), and the offline global BA must
+    return a full-length polished trajectory no worse than the online one."""
+    import dataclasses as dc
+    from putslam_tpu.config import tiny_test_config
+    from putslam_tpu.io import synthetic
+    from putslam_tpu.models import slam as slam_mod
+    from putslam_tpu.eval import ate
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(
+        map=dc.replace(cfg.map, max_keyframes=16, covisibility_keyframe=2.0),
+        backend=dc.replace(cfg.backend, max_observations=256,
+                           optimize_every_n_frames=4))
+    poses = synthetic.orbit_trajectory(28, radius=0.06, yaw_amp=0.08)
+    grays, depths = synthetic.render_sequence(cfg.camera, poses)
+    gt = np.asarray(poses)
+    pb, pa, outs, st, archive = slam_mod.run_slam_global(
+        cfg, grays, depths, init_pose=jnp.asarray(poses[0]), chunk_size=8,
+        window=8, kf_cap=32, lm_cap=512, obs_cap=1024, pp_cap=64,
+        sweeps=2, gn_iterations=4)
+    # every keyframe ever created is archived, though the 16-slot ring wrapped
+    n_kf_total = int(np.asarray(st.map.n_kf))
+    assert n_kf_total > 16
+    assert archive.n_keyframes() == n_kf_total
+    err_before = float(ate.ate_rmse_aligned_frames(gt, pb))
+    err_after = float(ate.ate_rmse_aligned_frames(gt, pa))
+    assert np.all(np.isfinite(pa))
+    assert err_after < err_before * 1.2 + 1e-4, (err_before, err_after)
+    assert err_after < 0.15, err_after
+
+
+# ---------------------------------------------------------------------------
 # golden acceptance gates: the committed 640-frame file-played results must
 # stay inside the pinned bounds (regenerate via ACCEPTANCE_r04.json's
 # "reproduce" commands; scored by the reference's own eval scripts)
