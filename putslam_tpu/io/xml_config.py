@@ -126,14 +126,23 @@ def load_matcher_config(matcher_xml: str, cfg: SlamConfig) -> SlamConfig:
             r, "minimalNumberOfMatches", int, cfg.ransac.minimal_num_matches),
         used_pairs=_attr(r, "usedPairs", int, cfg.ransac.used_pairs),
     )
-    m = root.find("Matching")
+    # the detector/matcher/tracker knobs live on ONE <MatcherOpenCV .../>
+    # element in the reference XML (matcher.h:177-369 parses the same)
+    m = root.find("MatcherOpenCV")
     matcher = cfg.matcher
     detector = cfg.detector
+    tracker = cfg.tracker
     if m is not None:
+        desc_name = (m.get("descriptor") or "ORB").upper()
         detector = dataclasses.replace(
             detector,
             grid_rows=_attr(m, "gridRows", int, detector.grid_rows),
             grid_cols=_attr(m, "gridCols", int, detector.grid_cols),
+            nms_radius=max(int(_attr(m, "DBScanEps", float,
+                                     float(detector.nms_radius))), 1),
+            # binary families map onto the steered-BRIEF/LDB banks; float
+            # SURF/SIFT are out of scope (BASELINE.md operating point)
+            descriptor="ldb" if desc_name == "LDB" else detector.descriptor,
         )
         matcher = dataclasses.replace(
             matcher,
@@ -141,21 +150,27 @@ def load_matcher_config(matcher_xml: str, cfg: SlamConfig) -> SlamConfig:
                 m, "matchingXYZSphereRadius", float,
                 matcher.matching_xyz_sphere_radius),
             matching_xyz_acceptance_ratio=_attr(
-                m, "matchingXYZacceptRatio", float,
+                m, "matchingXYZacceptRatioOfBestMatch", float,
                 matcher.matching_xyz_acceptance_ratio),
         )
-    t = root.find("Tracking") or root.find("tracking")
-    tracker = cfg.tracker
-    if t is not None:
         tracker = dataclasses.replace(
             tracker,
-            win_size=_attr(t, "winSize", int, tracker.win_size),
-            max_levels=_attr(t, "maxLevels", int, tracker.max_levels),
-            max_iter=_attr(t, "maxIter", int, tracker.max_iter),
-            error_threshold=_attr(t, "trackingErrorThreshold", float,
+            win_size=_attr(m, "winSize", int, tracker.win_size),
+            max_levels=_attr(m, "maxLevels", int, tracker.max_levels),
+            max_iter=_attr(m, "maxIter", int, tracker.max_iter),
+            eps=_attr(m, "eps", float, tracker.eps),
+            error_threshold=_attr(m, "trackingErrorThreshold", float,
                                   tracker.error_threshold),
-            min_tracked_features=_attr(t, "minimalTrackedFeatures", int,
+            min_tracked_features=_attr(m, "minimalTrackedFeatures", int,
                                        tracker.min_tracked_features),
+        )
+    p = root.find("MatchingOnPatches")
+    if p is not None:
+        tracker = dataclasses.replace(
+            tracker,
+            patch_refine=bool(_attr(p, "warping", int, 0)),
+            patch_refine_win=_attr(p, "patchSize", int,
+                                   tracker.patch_refine_win),
         )
     return cfg.replace(ransac=ransac, matcher=matcher, detector=detector,
                        tracker=tracker, vo_version=vo_version)
@@ -203,8 +218,19 @@ def load_map_config(map_xml: str, cfg: SlamConfig) -> SlamConfig:
                                            cfg.map.min_frames_between_keyframes),
         max_frames_window=_attr(comp, "maxFramesNo", int,
                                 cfg.map.max_frames_window),
+        # uncertaintyModel: 0 sensor J·R·Jᵀ, 1 normal-scaled, 2 gradient-
+        # scaled (featuresMap.cpp:112-120 dispatch)
+        uncertainty_model={0: "sensor", 1: "normal", 2: "gradient"}.get(
+            _attr(p, "uncertaintyModel", int, 0), cfg.map.uncertainty_model),
     )
-    return cfg.replace(map=mp)
+    # optimizationErrorType: 0 → Edge3D euclidean, 1 → reprojection
+    # (featuresMap config drives which edge the graph gets)
+    backend = dataclasses.replace(
+        cfg.backend,
+        error_type=_attr(p, "optimizationErrorType", int,
+                         cfg.backend.error_type),
+    )
+    return cfg.replace(map=mp, backend=backend)
 
 
 def load_reference_config(resources_dir: str,
@@ -215,6 +241,18 @@ def load_reference_config(resources_dir: str,
     camera (default: the one referenced by putslamfileModel.xml if present).
     """
     cfg = SlamConfig()
+    # global thread/mode switches (putslamconfigGlobal.xml,
+    # PUTSLAM.cpp:454-486): onlyVO and the loop-closure thread toggle
+    global_xml = os.path.join(resources_dir, "putslamconfigGlobal.xml")
+    if os.path.exists(global_xml):
+        groot = _parse_lenient(global_xml)
+        ps = groot.find("PUTSLAM")
+        th = groot.find("ThreadSettings")
+        cfg = cfg.replace(
+            only_vo=bool(_attr(ps, "onlyVO", int, 0)),
+            loop_closure=dataclasses.replace(
+                cfg.loop_closure,
+                enabled=bool(_attr(th, "loopClosureThreadVersion", int, 0))))
     matcher_xml = os.path.join(resources_dir,
                                "putslammatcherOpenCVParameters.xml")
     if os.path.exists(matcher_xml):

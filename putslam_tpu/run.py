@@ -40,6 +40,11 @@ def main(argv=None) -> int:
                          "blocks of this many frames (0 = all at once); "
                          "long file-played sequences must not stage the "
                          "whole image stack on the device")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="archive the full graph across ring evictions and "
+                         "polish it with the offline global bundle "
+                         "adjustment (overlapping windowed sweeps) instead "
+                         "of the ring-bounded final optimization")
     ap.add_argument("--reference-eval", action="store_true",
                     help="additionally score the trajectories with the "
                          "REFERENCE's own evaluate_ate/evaluate_rpe scripts "
@@ -129,6 +134,12 @@ def main(argv=None) -> int:
             est, stats = vo.run_vo(cfg, grays, depths, seed=args.seed,
                                    init_pose=init_pose)
         outs = None
+    elif args.global_ba:
+        with timer.stage("slam_total"):
+            est_vo_anchored, est, outs, state, _archive = \
+                slam.run_slam_global(cfg, grays, depths,
+                                     init_pose=init_pose, seed=args.seed,
+                                     chunk_size=args.chunk or 64)
     else:
         with timer.stage("slam_total"):
             est_vo_anchored, est, outs, state = slam.run_slam_final(

@@ -80,6 +80,17 @@ def test_reference_xml_chain():
     assert cfg.ransac.used_pairs == 3
     assert cfg.map.covisibility_keyframe == 0.9
     assert cfg.map.max_frames_window == 250
+    # round-4 mappings: the MatcherOpenCV element (guided-matching sphere +
+    # band ratio), uncertaintyModel dispatch, optimizationErrorType, and
+    # the global thread switches
+    assert cfg.matcher.matching_xyz_sphere_radius == 0.12
+    assert cfg.matcher.matching_xyz_acceptance_ratio == 0.55
+    assert cfg.detector.grid_rows == 1 and cfg.detector.grid_cols == 1
+    assert cfg.tracker.win_size == 7 and cfg.tracker.max_levels == 3
+    assert cfg.map.uncertainty_model == "gradient"   # uncertaintyModel="2"
+    assert cfg.backend.error_type == 0               # optimizationErrorType
+    assert cfg.only_vo is False
+    assert cfg.loop_closure.enabled is False         # LC thread off
     # default chain (handles the in-tree merge-conflict markers)
     cfg2 = xml_config.load_reference_config(res)
     assert cfg2.camera.fu != cfg.camera.fu  # messor2 camera
