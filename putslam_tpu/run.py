@@ -94,6 +94,14 @@ def main(argv=None) -> int:
             gt_poses = np.asarray(poses)
             timestamps = np.arange(len(grays)) / 30.0
     elif args.dataset:
+        # a dataset's own camera.json (written by tools/make_disk_dataset)
+        # overrides the config camera — the engine must not undistort
+        # pixels of a sequence rendered without distortion
+        cam_json = os.path.join(args.dataset, "camera.json")
+        if os.path.exists(cam_json):
+            with open(cam_json) as f:
+                cfg = cfg.replace(camera=dataclasses.replace(
+                    cfg.camera, **json.load(f)))
         with timer.stage("dataset"):
             ds = tum.TumDataset(args.dataset,
                                 depth_scale=cfg.camera.depth_image_scale)

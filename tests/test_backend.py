@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -184,6 +185,7 @@ def test_factor_jacobians_match_autodiff(rng):
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pcg_solver_matches_dense(rng):
     kf_true, lm_true, kf_init, lm_init, g = build_problem(rng, noise=0.003)
     K, L = kf_init.shape[0], lm_init.shape[0]

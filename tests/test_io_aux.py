@@ -45,6 +45,7 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         pass
 
 
+@pytest.mark.slow
 def test_g2o_roundtrip_and_reoptimize(tmp_path, rng):
     kf_true, lm_true, kf_init, lm_init, g = build_problem(rng, K=5, L=32,
                                                           obs_per_kf=24)
@@ -83,6 +84,7 @@ def test_stage_timer_and_dumps(tmp_path):
     assert open(tmp_path / "fps.res").read().strip() == "30.000"
 
 
+@pytest.mark.slow
 def test_run_cli_synthetic(tmp_path):
     """End-to-end CLI: synthetic sequence, VO-only (fast path)."""
     env = dict(os.environ)
@@ -106,6 +108,7 @@ def test_run_cli_synthetic(tmp_path):
     assert "ate_rmse_m" in rep
 
 
+@pytest.mark.slow
 def test_run_experiments_sweep(tmp_path):
     """Batch driver (runPUTSLAM.py + summarizeResults.py analog): sweep one
     reference-style preset over a synthetic sequence and aggregate."""

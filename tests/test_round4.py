@@ -330,6 +330,7 @@ def test_guided_match_pairs_band_accepts_aliased_mates():
     assert len(got) == 2, got
 
 
+@pytest.mark.slow
 def test_engine_multi_mate_no_regression():
     import dataclasses as dc
     from putslam_tpu.config import tiny_test_config

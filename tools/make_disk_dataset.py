@@ -68,6 +68,16 @@ def main(argv=None):
     # single consolidated index files + groundtruth over the whole sequence
     tum._write_index_files(args.out, all_ts)
     tum.save_trajectory(os.path.join(args.out, "groundtruth.txt"), all_ts, gt)
+    # the TRUE camera model of the rendered data: pinhole, NO distortion
+    # (the raycaster projects undistorted rays) — consumers must not apply
+    # the fr1 distortion correction to images that were never distorted
+    import json
+    with open(os.path.join(args.out, "camera.json"), "w") as f:
+        json.dump({"fu": cfg.camera.fu, "fv": cfg.camera.fv,
+                   "cu": cfg.camera.cu, "cv": cfg.camera.cv,
+                   "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0,
+                   "width": cfg.camera.width, "height": cfg.camera.height,
+                   "depth_image_scale": cfg.camera.depth_image_scale}, f)
     print(f"done: {args.out} ({args.frames} frames, {time.time()-t0:.0f}s)")
     return 0
 
