@@ -42,6 +42,13 @@ def _clear_jax_caches_per_module():
     process; past ~110 tests the next compilation segfaults inside
     backend_compile_and_load (deterministically, only in the full-suite
     order — every subset passes). Clearing per module keeps peak JIT state
-    bounded and sidesteps the crash at the cost of some recompilation."""
+    bounded and sidesteps the crash at the cost of some recompilation.
+
+    Round-4 repro hunt (tools/xla_cpu_segfault_repro.py): 400 distinct
+    scan-containing compilations on the 8-virtual-device CPU client do NOT
+    reproduce — executable-count accumulation alone is not the trigger; the
+    crash needs the suite's real program mix (donation / shard_map /
+    multi-process among them). Left as a documented workaround; the script
+    is the starting point for an upstream-reportable repro."""
     yield
     jax.clear_caches()

@@ -13,6 +13,38 @@ from putslam_tpu.ops import kabsch
 from test_backend import build_problem
 
 
+def test_kabsch_uncertainty_3sigma_battery(rng):
+    """demoKabsch-scale consistency battery (demos/demoKabsch.cpp:19-60:
+    synthetic point sets with known SE(3) transforms across noise regimes,
+    alert when an estimate falls outside the 3σ band of the propagated
+    uncertainty): sweep noise levels × transforms, batch the trials with
+    vmap, and require (a) ≥95 % of per-axis errors inside 3σ_pred and
+    (b) the empirical per-axis std within a factor 2 of the prediction."""
+    w = jnp.ones((64,))
+    batch_kabsch = jax.vmap(lambda q, p: kabsch.weighted_kabsch(p, q, w),
+                            in_axes=(0, None))
+    for sigma in (0.002, 0.005, 0.01, 0.02):
+        for t_seed in range(3):
+            xi_t = rng.normal(0, 0.3, (6,)).astype(np.float32)
+            T_true = se3.exp(jnp.asarray(xi_t))
+            p = jnp.asarray(rng.normal(0, 1.0, (64, 3)).astype(np.float32))
+            q_clean = se3.apply(T_true, p)
+            trials = 200
+            noise = rng.normal(0, sigma, (trials, 64, 3)).astype(np.float32)
+            T_est = batch_kabsch(q_clean[None] + jnp.asarray(noise), p)
+            xi = np.asarray(jax.vmap(
+                lambda T: se3.boxminus(T, T_true))(T_est))   # (trials, 6)
+            pred = np.asarray(kabsch.transform_covariance(
+                T_true, p, w, point_var=sigma ** 2))
+            sd = np.sqrt(np.clip(np.diag(pred), 1e-20, None))
+            within = np.abs(xi) <= 3.0 * sd[None, :]
+            frac = within.mean()
+            assert frac >= 0.95, (sigma, t_seed, frac)
+            ratio = xi.std(axis=0) / sd
+            assert np.all(ratio > 0.4) and np.all(ratio < 2.5), \
+                (sigma, t_seed, ratio)
+
+
 def test_transform_covariance_scales_with_noise(rng):
     """Monte-Carlo check: the predicted 6x6 covariance should match the
     empirical scatter of Kabsch estimates under iid point noise."""
