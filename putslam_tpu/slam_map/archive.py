@@ -202,6 +202,13 @@ def global_bundle_adjust(cfg, archive: MapArchive,
             if len(sel_idx) == 0:
                 continue
             kf_used = np.unique(obs_kf[sel_idx])
+            # pose-pose edges touching the window drag their far endpoint in
+            # as a frozen anchor — long-range loop-closure constraints must
+            # reach across windows, not silently drop
+            if len(pp_i):
+                touch = ((pp_i >= a) & (pp_i < b)) | ((pp_j >= a) & (pp_j < b))
+                kf_used = np.unique(np.concatenate(
+                    [kf_used, pp_i[touch], pp_j[touch]]))
             # free window keyframes first, then frozen anchors, cap kf_cap
             free_k = kf_used[(kf_used >= a) & (kf_used < b)]
             froz_k = kf_used[(kf_used < a) | (kf_used >= b)]
