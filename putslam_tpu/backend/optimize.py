@@ -485,15 +485,23 @@ def gauss_newton_mm(bcfg: BackendConfig,
         return jax.lax.dot_general(
             Qf, x_m, dimension_numbers=(((0,), (0,)), ((), ())))
 
+    # generation-equality gates use exact == over f32 one-hot matmuls —
+    # HIGHEST precision keeps them exact on backends whose DEFAULT f32 dot
+    # rounds operands to bf16 (generation counters > 256 would silently
+    # fail the gate there). These run once per call, outside the GN scan.
     gate = g.obs_valid & lm_ok_obs
     if lm_gen is not None:
         lm_gen_c = lm_gen[sel_lm].astype(f32)                   # (LC,)
-        gen_at_obs = _obs_from_lm(lm_gen_c[:, None])[:, 0]
+        gen_at_obs = jax.lax.dot_general(
+            Qf, lm_gen_c[:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)[:, 0]
         gate = gate & (gen_at_obs == g.obs_gen.astype(f32))
     if kf_gen is not None:
         kfgen_at_obs = jax.lax.dot_general(
             P_full, kf_gen.astype(f32)[:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())))[:, 0]
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)[:, 0]
         gate = gate & (kfgen_at_obs == g.obs_kfgen.astype(f32))
 
     pp_gate = g.pp_valid
@@ -507,7 +515,8 @@ def gauss_newton_mm(bcfg: BackendConfig,
     def do_iteration(carry):
         kf_pose, lm_pos_c = carry
         kf_p = jax.lax.dot_general(                             # (M, 7)
-            P_full, kf_pose, dimension_numbers=(((1,), (0,)), ((), ())))
+            P_full, kf_pose, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
         lm_p = _obs_from_lm(lm_pos_c)                           # (M, 3)
         r, Jp, Jl = factors.assemble_obs_terms(kf_p, lm_p, g.obs_xyz,
                                                bcfg.error_type, fu, fv)

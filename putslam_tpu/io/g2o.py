@@ -128,26 +128,43 @@ def import_graph(path: str, max_keyframes: int, max_landmarks: int,
             elif tag == "FIX":
                 fixed[int(tok[1])] = True
             elif tag == "EDGE_SE3:QUAT":
+                if len(tok) < 11:
+                    raise ValueError(
+                        f"{path}: malformed EDGE_SE3:QUAT line "
+                        f"(need measurement + ≥1 info value): {line.rstrip()!r}")
                 i, j = int(tok[1]), int(tok[2])
                 tx, ty, tz, qx, qy, qz, qw = map(float, tok[3:10])
                 # full 21-value upper-triangular 6×6 information
                 # (graph_g2o.cpp:685-770 reads the same); the pose-pose
                 # factor uses a scalar weight, so reduce to the mean of the
                 # information diagonal (exact for the isotropic matrices the
-                # engine itself emits)
-                info6 = _from_upper_tri(tok[10:31], 6)
-                w = float(np.trace(info6) / 6.0)
+                # engine itself emits). Short/nonstandard lines carrying
+                # fewer info values fall back to the first info token as a
+                # scalar weight instead of crashing on StopIteration.
+                if len(tok) >= 31:
+                    info6 = _from_upper_tri(tok[10:31], 6)
+                    w = float(np.trace(info6) / 6.0)
+                else:
+                    w = float(tok[10])
                 pps.append((i, j, [tx, ty, tz, qw, qx, qy, qz], w))
             elif tag == "EDGE_SE3_TRACKXYZ":
+                if len(tok) < 7:
+                    raise ValueError(
+                        f"{path}: malformed EDGE_SE3_TRACKXYZ line "
+                        f"(need measurement + ≥1 info value): {line.rstrip()!r}")
                 k = int(tok[1])
                 l = int(tok[2]) - LANDMARK_ID_BASE
                 xyz = [float(tok[3]), float(tok[4]), float(tok[5])]
                 # full 6-value upper-triangular 3×3 information — kept as a
                 # matrix so anisotropic imports whiten BA exactly
                 # (use_obs_info mode); scalar weight = mean diagonal for
-                # the scalar-weighted paths
-                info3 = _from_upper_tri(tok[6:12], 3)
-                w = float(np.trace(info3) / 3.0)
+                # the scalar-weighted paths. Short lines → scalar fallback.
+                if len(tok) >= 12:
+                    info3 = _from_upper_tri(tok[6:12], 3)
+                    w = float(np.trace(info3) / 3.0)
+                else:
+                    w = float(tok[6])
+                    info3 = w * np.eye(3, dtype=np.float32)
                 obs.append((k, l, xyz, w, info3))
 
     g = init_graph(max_observations, max_pose_pose)

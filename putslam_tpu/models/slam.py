@@ -390,6 +390,15 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
         # would be silently frozen by the solver anyway).
         window = cfg.map.max_frames_window
         if 0 < cfg.backend.ba_window < cfg.map.max_keyframes:
+            if cfg.backend.ba_window < window:
+                import warnings
+                warnings.warn(
+                    f"backend.ba_window={cfg.backend.ba_window} clamps the "
+                    f"configured map.max_frames_window={window}: keyframes "
+                    f"beyond the solver's compaction capacity are frozen "
+                    f"in-loop (the reference would keep maxFramesNo free). "
+                    f"Raise backend.ba_window for full parity.",
+                    stacklevel=2)
             window = min(window, cfg.backend.ba_window)
         fixed = fm.active_window_fixed(m_in, window)
         fixed = fixed.at[0].set(True)

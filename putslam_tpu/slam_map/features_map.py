@@ -156,13 +156,21 @@ def guided_match_pairs(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
     pair_feat = idxs.reshape(-1).astype(jnp.int32)
     pair_dist = (-vals).reshape(-1)
     P = 2 * N
-    sel = jnp.nonzero(pair_ok, size=P, fill_value=-1)[0]
-    on = sel >= 0
+    # compact the flat pair list to P survivors BY MATCH QUALITY (top_k on
+    # -dist), not landmark-index order — on dense revisits with max_mates>1
+    # index-order truncation silently drops superior high-index pairs
+    sel_negd = jnp.where(pair_ok, -pair_dist, -jnp.inf)
+    top_vals, sel = jax.lax.top_k(sel_negd, min(P, sel_negd.shape[0]))
+    if sel.shape[0] < P:
+        sel = jnp.pad(sel, (0, P - sel.shape[0]))
+        top_vals = jnp.pad(top_vals, (0, P - top_vals.shape[0]),
+                           constant_values=-jnp.inf)
+    on = jnp.isfinite(top_vals)
     safe = jnp.maximum(sel, 0)
     return GuidedMatchPairs(
         lm_idx=jnp.where(on, pair_lm[safe], 0),
         feat_idx=jnp.where(on, pair_feat[safe], 0),
-        dist=jnp.where(on, pair_dist[safe], jnp.inf),
+        dist=jnp.where(on, -top_vals, jnp.inf),
         valid=on,
         n_candidates=jnp.sum(jnp.any(finite, axis=1)).astype(jnp.int32))
 
