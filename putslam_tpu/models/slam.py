@@ -626,6 +626,70 @@ def run_slam(cfg: SlamConfig, grays, depths, init_pose=None, seed: int = 0,
 # ---------------------------------------------------------------------------
 
 
+def finalize_dist(cfg: SlamConfig, state: SlamState, mesh) -> SlamState:
+    """ENGINE-INTEGRATED distributed finalize: the same release → BA →
+    chi²-prune → BA contract as ``finalize`` (featuresMap.cpp:980-1025),
+    with both Gauss-Newton solves executed by the landmark-sharded
+    distributed Schur solver over ``mesh`` (parallel/dist_ba.py) — the
+    scaling path for maps whose landmark store exceeds one device. Host
+    wrapper (finalize runs at sequence end — a host sync point already).
+
+    If the owner partition would drop edges (skewed landmark ownership),
+    falls back to the single-device ``finalize`` for correctness."""
+    import dataclasses
+    import warnings
+
+    from putslam_tpu.parallel import dist_ba
+
+    m, g = state.map, state.graph
+    bcfg = dataclasses.replace(cfg.backend,
+                               gn_iterations=cfg.backend.final_gn_iterations,
+                               ba_window=0)
+    lm_valid = m.lm_valid & (m.lm_n_obs >= cfg.backend.final_min_obs)
+    seqs = jnp.where(m.kf_valid, m.kf_seq, jnp.iinfo(jnp.int32).max)
+    gauge = jnp.argmin(seqs)
+    fixed = jnp.zeros_like(m.kf_valid).at[gauge].set(True)
+
+    kf1, lm1, _, overflow = dist_ba.dist_gauss_newton(
+        bcfg, mesh, m.kf_pose, m.kf_valid, m.lm_pos, lm_valid, g, fixed,
+        m.lm_gen, m.kf_gen, cam=cfg.camera)
+    if int(overflow) > 0:
+        warnings.warn(
+            f"dist finalize: owner partition dropped {int(overflow)} edges "
+            f"(skewed landmark ownership) — falling back to the "
+            f"single-device finalize.", stacklevel=2)
+        return finalize(cfg, state)
+
+    # chi²-outlier pruning on the polished estimate (optimizeAndPrune):
+    # final per-edge errors from the production assembly path
+    sq = _final_obs_errors(bcfg, kf1, lm1, lm_valid, g, m.lm_gen, m.kf_gen,
+                           cam=cfg.camera)
+    drop = sq > cfg.backend.chi2_prune_threshold
+    g = graph_mod.prune_observations(g, drop)
+    kf2, lm2, _, overflow2 = dist_ba.dist_gauss_newton(
+        bcfg, mesh, kf1, m.kf_valid, lm1, lm_valid, g, fixed,
+        m.lm_gen, m.kf_gen, cam=cfg.camera)
+    if int(overflow2) > 0:
+        warnings.warn("dist finalize second pass overflowed — single-device "
+                      "fallback.", stacklevel=2)
+        return finalize(cfg, state._replace(graph=g))
+
+    m = m._replace(kf_pose=kf2, lm_pos=lm2, lm_valid=lm_valid)
+    kf_repaired, _ = check_trajectory(cfg, m, g)
+    m = m._replace(kf_pose=kf_repaired)
+    return state._replace(map=m, graph=g)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cam",))
+def _final_obs_errors(bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen, kf_gen,
+                      cam):
+    """Final per-observation weighted squared errors (the prune signal the
+    single-device BAResult carries as obs_sq_err)."""
+    _, _, _, _, sq = opt_mod._assemble_obs(
+        bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen, kf_gen, cam)
+    return sq
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def finalize(cfg: SlamConfig, state: SlamState) -> SlamState:
     """Full-graph polish: release the window-fixed keyframes (only the oldest

@@ -45,8 +45,10 @@ from putslam_tpu.geometry.uncertainty import chol3x3, inv3x3
 
 def partition_overflow(g: GraphState, ndev: int, L: int) -> int:
     """Edges dropped by the 2×-slack owner partition for this graph state
-    (0 in balanced conditions) — check before trusting a sharded solve on a
-    pathologically skewed edge distribution."""
+    (0 in balanced conditions) — host-side pre-check mirroring the in-jit
+    ``overflow`` output of ``dist_gauss_newton`` (same formula); use it to
+    size/rebalance BEFORE paying for a sharded compile on a pathologically
+    skewed edge distribution."""
     import numpy as np
 
     Ls = L // ndev
@@ -66,7 +68,10 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
     """Sharded Gauss-Newton: same math as backend.optimize.gauss_newton,
     with the landmark axis partitioned over ``mesh``'s first axis.
 
-    Returns (kf_pose', lm_pos', chi2 (iters,)).
+    Returns (kf_pose', lm_pos', chi2 (iters,), overflow ()): ``overflow``
+    counts edges DROPPED by the 2×-slack owner partition — a nonzero value
+    means a skewed ownership distribution silently weakened the solve, and
+    callers must rebalance or fall back to the single-device solver.
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
@@ -89,6 +94,7 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
     owner = jnp.where(g.obs_valid, g.obs_lm // Ls, ndev)
     order = jnp.argsort(owner, stable=True).astype(jnp.int32)
     counts = jnp.bincount(owner, length=ndev + 1)[:ndev]        # (ndev,)
+    overflow = jnp.sum(jnp.maximum(counts - Ms, 0)).astype(jnp.int32)
     starts = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
     jj = jnp.arange(Ms)
@@ -259,4 +265,4 @@ def dist_gauss_newton(bcfg: BackendConfig, mesh: Mesh,
         jax.device_put(kf_valid, repl),
         jax.device_put(kf_gen, repl),
     )
-    return kf_out, lm_out, chi2s
+    return kf_out, lm_out, chi2s, overflow

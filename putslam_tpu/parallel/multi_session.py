@@ -185,14 +185,36 @@ def find_cross_session_closures(cfg: SlamConfig, merged: MergedProblem,
 def joint_optimize(cfg: SlamConfig, mesh, merged: MergedProblem,
                    g: graph_mod.GraphState, n_cross_edges: int):
     """Distributed BA over the merged problem. Returns (kf_pose, lm_pos,
-    chi2)."""
+    chi2).
+
+    Merged multi-session graphs are exactly the case where landmark ids may
+    NOT be round-robin balanced, so the dist solver's owner-partition
+    overflow is checked: if any edges would be dropped by the 2×-slack
+    partition, the solve falls back to the single-device full solver
+    (correctness over scaling) with a warning."""
     BK = merged.kf_pose.shape[0]
     fixed = jnp.zeros((BK,), bool)
     if n_cross_edges > 0:
         fixed = fixed.at[merged.anchors[0]].set(True)
     else:
         fixed = fixed.at[merged.anchors].set(True)
-    return dist_ba.dist_gauss_newton(
+    kf_out, lm_out, chi2, overflow = dist_ba.dist_gauss_newton(
         cfg.backend, mesh, merged.kf_pose, merged.kf_valid,
         merged.lm_pos, merged.lm_valid, g, fixed, merged.lm_gen,
         merged.kf_gen, cam=cfg.camera)
+    if int(overflow) > 0:
+        import warnings
+
+        from putslam_tpu.backend import optimize as opt_mod
+
+        warnings.warn(
+            f"dist-BA owner partition dropped {int(overflow)} edges on the "
+            f"merged graph (skewed landmark ownership); re-solving on one "
+            f"device for correctness. Rebalance landmark ids across blocks "
+            f"to restore the sharded path.", stacklevel=2)
+        res = opt_mod.gauss_newton_mm(
+            cfg.backend, merged.kf_pose, merged.kf_valid, merged.lm_pos,
+            merged.lm_valid, g, fixed, merged.lm_gen, merged.kf_gen,
+            cam=cfg.camera)
+        return res.kf_pose, res.lm_pos, res.chi2
+    return kf_out, lm_out, chi2

@@ -230,18 +230,30 @@ def global_bundle_adjust(cfg, archive: MapArchive,
                          window: int = 192, kf_cap: int = 384,
                          lm_cap: int = 4096, obs_cap: int = 32768,
                          pp_cap: int = 2048, sweeps: int = 2,
-                         gn_iterations: int = 8):
+                         gn_iterations: int = 8, mesh=None):
     """Offline full-graph polish by overlapping windowed sweeps.
 
     Returns (kf_pose_polished (N,7) indexed by keyframe seq). Each sweep
     walks windows back-to-front with 50 % overlap; a window's subproblem =
     its free keyframes + every observation of any landmark they observe
     (including from frozen keyframes — the anchors), padded to fixed shapes
-    so all windows share one compiled solver program."""
+    so all windows share one compiled solver program.
+
+    ``mesh``: optional multi-device ``jax.sharding.Mesh`` — each window's
+    solve then runs through the landmark-sharded distributed Schur solver
+    (parallel/dist_ba.py, the in-engine scaling path; lm_cap must divide
+    the mesh size). Windows whose owner partition would drop edges fall
+    back to the single-device solver for that window."""
     import jax.numpy as jnp
 
     from putslam_tpu.backend import graph as graph_mod
     from putslam_tpu.backend import optimize as opt_mod
+    if mesh is not None and mesh.devices.size > 1:
+        from putslam_tpu.parallel import dist_ba as dist_mod
+        assert lm_cap % mesh.devices.size == 0, \
+            "lm_cap must divide the mesh size for the sharded solver"
+    else:
+        mesh = None
 
     kf, lm, (obs_kf, obs_lm, obs_xyz, obs_w, obs_info), \
         (pp_i, pp_j, pp_rel, pp_w) = archive.dense()
@@ -333,12 +345,29 @@ def global_bundle_adjust(cfg, archive: MapArchive,
             lm_sub = _pad_to(lm[lm_set], lm_cap)
             lm_valid = np.arange(lm_cap) < len(lm_set)
 
-            res = opt_mod.gauss_newton_mm(
-                bcfg, jnp.asarray(kf_sub), jnp.asarray(kf_valid),
-                jnp.asarray(lm_sub), jnp.asarray(lm_valid), g,
-                jnp.asarray(frozen), cam=cfg.camera)
-            kf_out = np.asarray(res.kf_pose)
-            lm_out = np.asarray(res.lm_pos)
+            if mesh is not None:
+                kf_o, lm_o, _, ovf = dist_mod.dist_gauss_newton(
+                    bcfg, mesh, jnp.asarray(kf_sub), jnp.asarray(kf_valid),
+                    jnp.asarray(lm_sub), jnp.asarray(lm_valid), g,
+                    jnp.asarray(frozen),
+                    jnp.zeros((lm_cap,), jnp.int32), cam=cfg.camera)
+                if int(ovf) == 0:
+                    kf_out = np.asarray(kf_o)
+                    lm_out = np.asarray(lm_o)
+                else:  # skewed window: correctness over scaling
+                    res = opt_mod.gauss_newton_mm(
+                        bcfg, jnp.asarray(kf_sub), jnp.asarray(kf_valid),
+                        jnp.asarray(lm_sub), jnp.asarray(lm_valid), g,
+                        jnp.asarray(frozen), cam=cfg.camera)
+                    kf_out = np.asarray(res.kf_pose)
+                    lm_out = np.asarray(res.lm_pos)
+            else:
+                res = opt_mod.gauss_newton_mm(
+                    bcfg, jnp.asarray(kf_sub), jnp.asarray(kf_valid),
+                    jnp.asarray(lm_sub), jnp.asarray(lm_valid), g,
+                    jnp.asarray(frozen), cam=cfg.camera)
+                kf_out = np.asarray(res.kf_pose)
+                lm_out = np.asarray(res.lm_pos)
             nfree = len(free_k)
             kf[free_k] = kf_out[:nfree]
             lm[lm_set] = lm_out[:len(lm_set)]

@@ -25,7 +25,7 @@ def test_dist_ba_matches_single_device(rng):
         jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed, lm_gen)
 
     m = mesh_mod.make_mesh(8, axis="lm")
-    kf_d, lm_d, chi2_d = dist_ba.dist_gauss_newton(
+    kf_d, lm_d, chi2_d, ovf = dist_ba.dist_gauss_newton(
         bcfg, m, jnp.asarray(kf_init), jnp.ones((K,), bool),
         jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed, lm_gen)
 
@@ -39,6 +39,7 @@ def test_dist_ba_matches_single_device(rng):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(res.lm_pos), np.asarray(lm_d),
                                atol=5e-3)
+    assert int(ovf) == 0
 
 
 def test_dist_ba_converges(rng):
@@ -47,7 +48,7 @@ def test_dist_ba_converges(rng):
     bcfg = BackendConfig(gn_iterations=6, robust_kernel="none", damping=1e-5)
     fixed = jnp.zeros((K,), bool).at[0].set(True)
     m = mesh_mod.make_mesh(8, axis="lm")
-    kf_d, lm_d, chi2 = dist_ba.dist_gauss_newton(
+    kf_d, lm_d, chi2, ovf = dist_ba.dist_gauss_newton(
         bcfg, m, jnp.asarray(kf_init), jnp.ones((K,), bool),
         jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed,
         jnp.zeros((L,), jnp.int32))
@@ -55,3 +56,27 @@ def test_dist_ba_converges(rng):
     assert chi[-1] < 1e-4 * chi[0] + 1e-8
     err_t = np.abs(np.asarray(kf_d)[:, :3] - kf_true[:, :3])
     assert err_t.max() < 2e-3
+
+
+def test_dist_ba_reports_partition_overflow(rng):
+    """Skewed ownership: every edge lands on device 0's landmark block, so
+    the 2x-slack per-device slice overflows and the solver must SAY so
+    (VERDICT r4: silent edge-dropping is a correctness landmine)."""
+    kf_true, lm_true, kf_init, lm_init, g = build_problem(
+        rng, K=4, L=64, obs_per_kf=64, noise=0.0, cap=256)
+    K, L = kf_init.shape[0], lm_init.shape[0]
+    # remap ALL observations onto landmarks 0..7 (device 0's block on an
+    # 8-way mesh): ownership count = M on device 0, slack = 2*M/8
+    g = g._replace(obs_lm=g.obs_lm % 8)
+    bcfg = BackendConfig(gn_iterations=1, robust_kernel="none", damping=1e-5)
+    fixed = jnp.zeros((K,), bool).at[0].set(True)
+    m = mesh_mod.make_mesh(8, axis="lm")
+    _, _, _, ovf = dist_ba.dist_gauss_newton(
+        bcfg, m, jnp.asarray(kf_init), jnp.ones((K,), bool),
+        jnp.asarray(lm_init), jnp.ones((L,), bool), g, fixed,
+        jnp.zeros((L,), jnp.int32))
+    M = int(np.asarray(g.obs_valid).sum())
+    slack = max(8, (2 * g.obs_kf.shape[0]) // 8)
+    assert int(ovf) == max(M - slack, 0) and int(ovf) > 0
+    # host-side pre-check agrees with the in-jit count
+    assert dist_ba.partition_overflow(g, 8, L) == int(ovf)

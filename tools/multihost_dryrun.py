@@ -93,7 +93,7 @@ def main(argv=None):
     kf, kfv, lm, lmv, lmg, g, fixed = build_problem(rng)
     mesh = multihost.global_mesh()
     bcfg = tiny_test_config().backend
-    kf_out, lm_out, chi2 = dist_ba.dist_gauss_newton(
+    kf_out, lm_out, chi2, overflow = dist_ba.dist_gauss_newton(
         bcfg, mesh, kf, kfv, lm, lmv, g, fixed, lmg)
     # fetch a replicated scalar (addressable on every process)
     chi2_final = float(np.asarray(jax.device_get(chi2))[-1])
@@ -101,6 +101,7 @@ def main(argv=None):
         "process": pid, "process_count": pcount,
         "local_devices": local, "global_devices": glob,
         "chi2_final": chi2_final,
+        "partition_overflow": int(overflow),
     }), flush=True)
     return 0
 
