@@ -119,6 +119,25 @@ class MatcherConfig:
     # retry trigger: widen the sphere when the map-RANSAC inlier ratio is
     # below this (the reference retries while matchingRatio < 0.1)
     retry_inlier_ratio: float = 0.1
+    # AUTOMATIC degraded-frame recovery (round-5): each retry of the ladder
+    # ALSO widens the Hamming acceptance by this many bits and scales the
+    # RANSAC inlier threshold by retry_threshold_growth — under heavy
+    # depth noise (the hard stress preset: σ_z=0.02 m) the TRUE pair-error
+    # norm averages ~0.046 m, ABOVE the fixed 0.04 m Euclidean gate, so
+    # tracking starves on genuinely matchable frames; a failed/starved VO
+    # match re-runs once with the widened gates (lax.cond — the extra
+    # matmul/RANSAC is only paid on degraded frames). 0 disables both.
+    retry_hamming_slack: float = 16.0
+    retry_threshold_growth: float = 1.75
+    # Sticky degraded mode: an EMA (decay degraded_ema_decay) of the STRICT
+    # first-pass map inlier ratio is carried in the state; while it sits
+    # below degraded_health_ratio the widened-gate retries fire on EVERY
+    # frame (not only outright failures) and the VO retry trigger relaxes
+    # too. The first pass always runs with the strict gates, so the health
+    # signal cannot be fooled by its own recovery. Clean sequences never
+    # enter the mode (first-pass ratios stay high).
+    degraded_health_ratio: float = 0.35
+    degraded_ema_decay: float = 0.9
 
 
 @dataclass(frozen=True)
@@ -302,7 +321,19 @@ class SlamConfig:
     # further than this from the VO prediction (same spirit as the VO gate;
     # junk guided matches can otherwise assemble a confident wrong pose).
     max_map_correction: float = 0.08
-    get_visible_features_graph_max_depth: int = 2
+    # OPTIONAL smoothed output trajectory: the emitted pose chain follows
+    # the internal estimate with a first-order lag, pose_s ← (pose_s ∘ vo)
+    # ⊕ α·log(·⁻¹ ∘ pose), suppressing the per-frame re-draw of the
+    # absolute map-RANSAC noise (internal logic always uses the full-snap
+    # pose). α = 1 (default) disables it. Measured (round 5): on
+    # VO-jitter-dominated runs α=0.3 halves frame-to-frame RPE (0.0137 →
+    # 0.0063 on the 120-frame orbit); on the keyframe-dense acceptance
+    # sequence it instead LAGS the per-frame BA corrections and worsens
+    # 1-second RPE (0.0092 → 0.0161) — hence off by default; a deployment
+    # with sparse keyframes/BA cadence can enable it. Corrections larger
+    # than pose_blend_snap metres (tracking recovery) always snap fully.
+    pose_blend_alpha: float = 1.0
+    pose_blend_snap: float = 0.04
     dtype: str = "float32"
 
     def replace(self, **kw) -> "SlamConfig":

@@ -245,6 +245,102 @@ def skew(v):
     return m.reshape(v.shape[:-1] + (3, 3))
 
 
+def _so3_left_jacobian_inv(phi):
+    """Inverse left Jacobian J_l⁻¹ of SO(3): I − ½K + c·K² with
+    c = 1/θ² − (1+cosθ)/(2θ·sinθ) (Taylor 1/12 + θ²/720)."""
+    theta2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    K = skew(phi)
+    K2 = K @ K
+    # valid on the principal domain |φ| ≤ π (log always returns it); the
+    # sign-preserving denominator clamp keeps θ > π inputs finite.
+    # Wide Taylor window (θ < 0.5): the exact form differences two ~1/θ²
+    # terms — catastrophic cancellation in f32 at small θ; the series
+    # converges to f32 precision well past the switch point
+    sin_t = jnp.sin(theta)
+    den = 2.0 * theta * sin_t
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    c = _taylor_safe(
+        theta2,
+        1.0 / jnp.maximum(theta2, 1e-24) - (1.0 + jnp.cos(theta)) / den,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
+        eps=0.25)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    return eye - 0.5 * K + c * K2
+
+
+def _se3_Q(xi):
+    """The Q block of the SE(3) left Jacobian (Barfoot, State Estimation
+    for Robotics, eq. 7.86): couples translation and rotation columns.
+    xi = (...,6) [ρ, φ] → (...,3,3). Batched elementwise + 3×3 products."""
+    rho, phi = xi[..., 0:3], xi[..., 3:6]
+    theta2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    Cr = skew(rho)
+    Cp = skew(phi)
+    Cp2 = Cp @ Cp
+    # wide Taylor windows: the exact numerators are high-order differences
+    # (O(θ³)/O(θ⁴)/O(θ⁵) of O(1) terms) — f32 cancellation garbage at small
+    # θ; 3-term series are f32-exact out to the θ=0.5 switch
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    t4 = theta2 * theta2
+    m2 = _taylor_safe(theta2, (theta - sin_t) / (theta2 * theta),
+                      1.0 / 6.0 - theta2 / 120.0 + t4 / 5040.0, eps=0.25)
+    m3 = _taylor_safe(theta2,
+                      (1.0 - 0.5 * theta2 - cos_t) / t4,
+                      -1.0 / 24.0 + theta2 / 720.0 - t4 / 40320.0, eps=0.25)
+    m5 = _taylor_safe(
+        theta2,
+        (theta - sin_t - theta2 * theta / 6.0) / (t4 * theta),
+        -1.0 / 120.0 + theta2 / 5040.0 - t4 / 362880.0, eps=0.25)
+    m4 = 0.5 * (m3 - 3.0 * m5)
+    CpCr = Cp @ Cr
+    CrCp = Cr @ Cp
+    return (0.5 * Cr
+            + m2 * (CpCr + CrCp + Cp @ CrCp)
+            - m3 * (Cp2 @ Cr + Cr @ Cp2 - 3.0 * (Cp @ CrCp))
+            - m4 * (CpCr @ Cp2 + Cp2 @ CrCp))
+
+
+def se3_left_jacobian_inv_blocks(xi):
+    """(X, Y) 3×3 blocks of the inverse left Jacobian of SE(3):
+    Jl⁻¹(ξ) = [[X, Y], [0, X]] with X = Jl⁻¹(φ), Y = −X·Q(ξ)·X."""
+    phi = xi[..., 3:6]
+    X = _so3_left_jacobian_inv(phi)
+    Y = -(X @ _se3_Q(xi) @ X)
+    return X, Y
+
+
+def _blocks_to_6x6(X, Y, Z, W):
+    top = jnp.concatenate([X, Y], axis=-1)
+    bot = jnp.concatenate([Z, W], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_left_jacobian_inv(xi):
+    """Inverse left Jacobian of SE(3) at twist xi (...,6) → (...,6,6):
+    [[Jl⁻¹, −Jl⁻¹·Q·Jl⁻¹], [0, Jl⁻¹]] (closed form — no autodiff)."""
+    X, Y = se3_left_jacobian_inv_blocks(xi)
+    return _blocks_to_6x6(X, Y, jnp.zeros_like(X), X)
+
+
+def se3_right_jacobian_inv(xi):
+    """Inverse RIGHT Jacobian of SE(3): Jr⁻¹(ξ) = Jl⁻¹(−ξ)."""
+    return se3_left_jacobian_inv(-xi)
+
+
+def adjoint(p):
+    """Adjoint of a pose (...,7) → (...,6,6) for [ρ, φ] twists:
+    Ad(T)·ξ satisfies T·exp(ξ)·T⁻¹ = exp(Ad(T)·ξ);
+    Ad = [[R, skew(t)·R], [0, R]]."""
+    R = quat_to_matrix(rotation_quat(p))
+    tR = skew(translation(p)) @ R
+    zeros = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([zeros, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def exp(xi):
     """se(3) twist (...,6) [rho, phi] → pose (...,7)."""
     rho, phi = xi[..., 0:3], xi[..., 3:6]
@@ -254,10 +350,12 @@ def exp(xi):
 
 
 def log(p):
-    """Pose (...,7) → twist (...,6)."""
+    """Pose (...,7) → twist (...,6). ρ = J_l⁻¹(φ)·t via the closed-form
+    inverse left Jacobian (a batched LU solve here cost ~0.5 ms per BA
+    iteration at the 1024-edge capacity — round-5 profiling)."""
     phi = so3_log(rotation_quat(p))
-    Jl = _so3_left_jacobian(phi)
-    rho = jnp.linalg.solve(Jl, translation(p)[..., None])[..., 0]
+    Jli = _so3_left_jacobian_inv(phi)
+    rho = jnp.einsum("...ij,...j->...i", Jli, translation(p))
     return jnp.concatenate([rho, phi], axis=-1)
 
 

@@ -17,6 +17,7 @@ last keyframe after each BA.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Tuple
 
@@ -42,6 +43,12 @@ class SlamState(NamedTuple):
     graph: graph_mod.GraphState
     prev_feat: Features
     pose: jnp.ndarray        # (7,) current camera→world
+    # smoothed OUTPUT pose chain (cfg.pose_blend_alpha): follows `pose`
+    # with a first-order lag that suppresses the per-frame re-draw of the
+    # absolute map-RANSAC noise; internal logic (matching, keyframes, BA)
+    # always uses the full-snap `pose`, so accuracy/drift control is
+    # untouched — only the emitted trajectory is low-passed
+    pose_smooth: jnp.ndarray  # (7,)
     last_kf_idx: jnp.ndarray # () int32 ring index of the last keyframe
     last_kf_pose: jnp.ndarray  # (7,) its pose at creation (for re-anchoring)
     frames_since_kf: jnp.ndarray  # () int32
@@ -52,6 +59,9 @@ class SlamState(NamedTuple):
     sig_valid: jnp.ndarray   # (K,) bool
     lc_queue: bow.LCQueue    # candidate priority buffer
     n_lc_edges: jnp.ndarray  # () int32 accepted loop closures
+    # sticky degraded-mode health: EMA of the strict first-pass map inlier
+    # ratio (cfg.matcher.degraded_health_ratio gates the recovery ladder)
+    health: jnp.ndarray      # () float32 in [0, 1]
     # --- decaying-velocity EKF (predict/correct only when
     # cfg.motion_model.enabled; otherwise carried through untouched) -------
     ekf: ekf_mod.EKFState
@@ -113,6 +123,7 @@ def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
     sig0 = bow.signature(vocab, feat.desc, feat.valid)
     return SlamState(
         map=m, graph=g, prev_feat=feat, pose=init_pose,
+        pose_smooth=init_pose,
         last_kf_idx=kf_idx, last_kf_pose=init_pose,
         frames_since_kf=jnp.int32(0), frame_idx=jnp.int32(1),
         key=jax.random.PRNGKey(seed),
@@ -120,6 +131,7 @@ def slam_init(cfg: SlamConfig, gray, depth, init_pose=None,
         sig_valid=jnp.zeros((K,), bool).at[kf_idx].set(True),
         lc_queue=bow.init_queue(cfg.loop_closure.queue_capacity),
         n_lc_edges=jnp.int32(0),
+        health=jnp.float32(1.0),
         ekf=ekf_mod.init(cfg.motion_model, init_pose),
     )
 
@@ -208,13 +220,16 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     # PUTSLAM.cpp:336-393): a known trajectory drives the map/backend with
     # no visual odometry in the loop.
     if playback:
+        degraded = jnp.asarray(False)
         vo_res = vo_mod.VOStepResult(
             se3.identity(), jnp.int32(0), jnp.int32(0), jnp.float32(1.0),
             jnp.asarray(True))
         pose_pred = gt_pose
         ekf_pred = state.ekf
     else:
-        vo_res = vo_mod.vo_step(cfg, k_vo, state.prev_feat, feat)
+        degraded = state.health < cfg.matcher.degraded_health_ratio
+        vo_res = vo_mod.vo_step(cfg, k_vo, state.prev_feat, feat,
+                                force_retry=degraded)
         pose_pred = se3.compose(state.pose, vo_res.rel_pose)
         ekf_pred = state.ekf
         if cfg.motion_model.enabled:
@@ -232,7 +247,18 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     # with a poor inlier ratio, re-run the guided match with a widened
     # search sphere (statically unrolled; each widening is lax.cond-gated so
     # the extra L×N matmul is only paid on the degraded frames)
-    def run_guided(scale, key):
+    def run_guided(scale, key, hamming_slack=0.0, thr_scale=1.0):
+        # degraded-frame recovery: retries also widen the RANSAC inlier
+        # gate — under heavy depth noise the TRUE pair-error norm can
+        # exceed the clean-data threshold (config.retry_threshold_growth)
+        rcfg = cfg.ransac if thr_scale == 1.0 else dataclasses.replace(
+            cfg.ransac,
+            inlier_threshold_euclidean=(
+                cfg.ransac.inlier_threshold_euclidean * thr_scale),
+            inlier_threshold_reprojection=(
+                cfg.ransac.inlier_threshold_reprojection * thr_scale),
+            inlier_threshold_mahalanobis=(
+                cfg.ransac.inlier_threshold_mahalanobis * thr_scale))
         if cfg.matcher.max_mates > 1:
             # multi-mate band acceptance (matcher.cpp:734-747): every
             # landmark contributes up to max_mates candidate pairs and
@@ -240,14 +266,15 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
             # single best mate still yields the right correspondence
             L = state.map.capacity
             pr = fm.guided_match_pairs(cfg, state.map, pose_pred, feat,
-                                       radius_scale=scale)
+                                       radius_scale=scale,
+                                       hamming_slack=hamming_slack)
             p_s = feat.xyz[pr.feat_idx]                           # (P, 3)
             q_s = state.map.lm_pos[pr.lm_idx]
             info_s = _full_obs_info(
                 cfg, feat.uv_undist[pr.feat_idx], p_s,
                 None if obs_dirs is None else obs_dirs[pr.feat_idx])
             res_c = ransac_mod.estimate(
-                cfg.ransac, cfg.camera, key, p_s, q_s, pr.valid, info=info_s)
+                rcfg, cfg.camera, key, p_s, q_s, pr.valid, info=info_s)
             inl = res_c.inliers & pr.valid
             inliers_L = jnp.zeros((L,), bool).at[pr.lm_idx].max(inl)
             # representative mate per landmark = best-distance inlier pair
@@ -261,7 +288,8 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
                                         pr.n_candidates)
             return gm_s, res_c._replace(inliers=inliers_L)
         gm_s = fm.guided_match(cfg, state.map, pose_pred, feat,
-                               radius_scale=scale)
+                               radius_scale=scale,
+                               hamming_slack=hamming_slack)
         # compact the matched pairs to the feature capacity before RANSAC:
         # at most N features can be matched, so the (hypotheses × pairs)
         # error evaluations shrink L→N (16× at fr1 capacities)
@@ -279,22 +307,44 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
             cfg, feat.uv_undist[idx_s], p_s,
             None if obs_dirs is None else obs_dirs[idx_s])
         res_c = ransac_mod.estimate(
-            cfg.ransac, cfg.camera, key, p_s, q_s, on, info=info_s)
+            rcfg, cfg.camera, key, p_s, q_s, on, info=info_s)
         # scatter the inlier verdicts back onto the landmark axis
         inliers_L = jnp.zeros((L,), bool).at[safe_lm_i].max(
             res_c.inliers & on)
         return gm_s, res_c._replace(inliers=inliers_L)
 
     gm, res_map = run_guided(1.0, k_map)
+    first_pass_ratio = res_map.inlier_ratio
     scale = 1.0
     for attempt in range(cfg.matcher.retries):
         scale *= cfg.matcher.retry_radius_growth
+        # degraded-frame recovery (round-4 finding, now automatic): each
+        # widening also relaxes the Hamming gate — under heavy blur/dropout
+        # the descriptor gate, not the optimizer, is the binding constraint
+        slack = (attempt + 1) * cfg.matcher.retry_hamming_slack
+        tscale = cfg.matcher.retry_threshold_growth ** (attempt + 1)
         key, k_retry = jax.random.split(key)
-        need_retry = (~res_map.ok) | \
+        need_retry = (~res_map.ok) | degraded | \
             (res_map.inlier_ratio < cfg.matcher.retry_inlier_ratio)
+
+        def try_wider(k, _gm=gm, _res=res_map):
+            # MONOTONE ladder: the widened-gate result is adopted only when
+            # it strictly improves the inlier count — a permissive retry
+            # that assembles a confident-but-wrong pose from junk matches
+            # must never replace a working strict-gate estimate (measured:
+            # unconditional adoption collapsed the hard preset's map)
+            gm2, res2 = run_guided(scale, k, hamming_slack=slack,
+                                   thr_scale=tscale)
+            better = res2.ok & (res2.n_inliers > _res.n_inliers)
+            gm_out = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), gm2, _gm)
+            res_out = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), res2, _res)
+            return gm_out, res_out
+
         gm, res_map = jax.lax.cond(
             need_retry,
-            functools.partial(run_guided, scale),
+            try_wider,
             lambda _k, _gm=gm, _res=res_map: (_gm, _res),
             k_retry)
     p_cam = feat.xyz[jnp.clip(gm.feat_idx, 0, feat.capacity - 1)]
@@ -483,6 +533,24 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
     pose_out = se3.compose(kf_pose_after,
                            se3.compose(se3.inverse(kf_pose_before), pose_new))
 
+    # ---- smoothed output trajectory (cfg.pose_blend_alpha) --------------
+    # The absolute map-RANSAC pose re-draws its Kabsch noise every frame;
+    # emitting it raw costs 2× RPE vs the reference's VO-smooth trajectory
+    # (BASELINE.md r4). The output chain advances by the same VO increment
+    # and the same BA/re-anchor correction as the internal pose, then pulls
+    # toward the internal estimate at rate α — white noise is suppressed by
+    # α while drift is tracked with a ~1/α-frame time constant; internal
+    # logic (matching, keyframes, BA) uses the full-snap pose throughout.
+    if playback or cfg.pose_blend_alpha >= 1.0:
+        pose_smooth_out = pose_out
+    else:
+        smooth_pred = se3.compose(state.pose_smooth, vo_res.rel_pose)
+        delta_s = se3.boxminus(pose_out, smooth_pred)
+        mag = jnp.linalg.norm(delta_s[:3])
+        alpha = jnp.where(mag > cfg.pose_blend_snap, 1.0,
+                          jnp.float32(cfg.pose_blend_alpha))
+        pose_smooth_out = se3.retract(smooth_pred, alpha * delta_s)
+
     # EKF measurement update with the accepted frame pose (correct,
     # decayingVelocityModel.cpp:43-121); a fully-failed frame keeps the
     # prediction so velocity coasts instead of being yanked to a junk pose
@@ -495,16 +563,20 @@ def slam_step(cfg: SlamConfig, state: SlamState, gray, depth,
 
     state_new = SlamState(
         map=m, graph=g, prev_feat=feat, pose=pose_out,
+        pose_smooth=pose_smooth_out,
         last_kf_idx=jnp.where(is_kf, kf_idx_new, state.last_kf_idx),
         last_kf_pose=jnp.where(is_kf, kf_pose_after, state.last_kf_pose),
         frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1),
         frame_idx=state.frame_idx + 1,
         key=key,
         kf_sig=kf_sig, sig_valid=sig_valid, lc_queue=lc_queue,
-        n_lc_edges=n_lc, ekf=ekf_new,
+        n_lc_edges=n_lc,
+        health=(cfg.matcher.degraded_ema_decay * state.health
+                + (1.0 - cfg.matcher.degraded_ema_decay) * first_pass_ratio),
+        ekf=ekf_new,
     )
     outs = SlamOutputs(
-        pose=pose_out, vo_ok=vo_res.ok, map_ok=map_ok,
+        pose=pose_smooth_out, vo_ok=vo_res.ok, map_ok=map_ok,
         n_map_matches=gm.n_candidates, n_map_inliers=n_matched.astype(jnp.int32),
         is_keyframe=is_kf, ba_ran=do_ba, chi2=chi2,
         n_landmarks=jnp.sum(m.lm_valid).astype(jnp.int32),

@@ -37,26 +37,68 @@ class VOStepResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def vo_step(cfg: SlamConfig, key: jax.Array, prev: Features, curr: Features
-            ) -> VOStepResult:
+def vo_step(cfg: SlamConfig, key: jax.Array, prev: Features, curr: Features,
+            force_retry=False) -> VOStepResult:
     """Relative pose of the current frame w.r.t. the previous one.
 
     Correspondences: cross-checked Hamming matches (prev_i ↔ curr_j) with
     both endpoints depth-valid; estimate T minimizing ‖T·xyz_curr − xyz_prev‖
     (so new_pose = prev_pose ∘ T)."""
     dist = matching.hamming_matrix(prev.desc, curr.desc, prev.valid, curr.valid)
-    m = matching.mutual_nn(dist, cfg.matcher.max_hamming)
-    p = curr.xyz[m.idx_b]                 # points in current frame
-    q = prev.xyz                          # corresponding points in prev frame
-    valid = m.valid & prev.has_depth & curr.has_depth[m.idx_b]
 
-    res = ransac_mod.estimate(cfg.ransac, cfg.camera, key, p, q, valid)
+    def match_and_estimate(k, max_hamming, rcfg):
+        m = matching.mutual_nn(dist, max_hamming)
+        p = curr.xyz[m.idx_b]             # points in current frame
+        q = prev.xyz                      # corresponding points in prev frame
+        valid = m.valid & prev.has_depth & curr.has_depth[m.idx_b]
+        res = ransac_mod.estimate(rcfg, cfg.camera, k, p, q, valid)
+        return jnp.sum(valid).astype(jnp.int32), res
+
+    key, k2 = jax.random.split(key)
+    n_matches, res = match_and_estimate(key, cfg.matcher.max_hamming,
+                                        cfg.ransac)
+
+    # degraded-frame recovery (mirrors the map-matching retry ladder,
+    # PUTSLAM.cpp:791-798 contract): a failed or starved VO match re-runs
+    # once with a relaxed Hamming gate — lax.cond, so the second RANSAC is
+    # only paid on degraded frames; clean sequences never take the branch
+    if cfg.matcher.retry_hamming_slack > 0:
+        import dataclasses as _dc
+
+        g = cfg.matcher.retry_threshold_growth
+        rcfg2 = _dc.replace(
+            cfg.ransac,
+            inlier_threshold_euclidean=cfg.ransac.inlier_threshold_euclidean
+            * g,
+            inlier_threshold_reprojection=(
+                cfg.ransac.inlier_threshold_reprojection * g),
+            inlier_threshold_mahalanobis=(
+                cfg.ransac.inlier_threshold_mahalanobis * g))
+        starved = (~res.ok) | jnp.asarray(force_retry) | \
+            (res.inlier_ratio < cfg.matcher.retry_inlier_ratio)
+
+        def try_wider(k, _n=n_matches, _r=res):
+            # monotone: adopt the widened-gate retry only on strict
+            # improvement (see the map-matching ladder note in slam.py)
+            n2, r2 = match_and_estimate(
+                k, cfg.matcher.max_hamming + cfg.matcher.retry_hamming_slack,
+                rcfg2)
+            better = r2.ok & (r2.n_inliers > _r.n_inliers)
+            return (jnp.where(better, n2, _n),
+                    jax.tree.map(lambda a, b: jnp.where(better, a, b),
+                                 r2, _r))
+
+        n_matches, res = jax.lax.cond(
+            starved,
+            try_wider,
+            lambda _k, _n=n_matches, _r=res: (_n, _r),
+            k2)
 
     # VO increment sanity gate (PUTSLAM.cpp:735-737): implausible jumps → identity
     too_far = jnp.linalg.norm(se3.translation(res.pose)) > cfg.max_vo_translation
     rel = jnp.where(too_far, se3.identity(dtype=res.pose.dtype), res.pose)
     ok = res.ok & ~too_far
-    return VOStepResult(rel, jnp.sum(valid).astype(jnp.int32),
+    return VOStepResult(rel, n_matches,
                         res.n_inliers, res.inlier_ratio, ok)
 
 

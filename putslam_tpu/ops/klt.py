@@ -151,3 +151,95 @@ def refine_patch_alignment(tcfg: TrackerConfig, ref_img, tgt_img, ref_pts,
                         error_threshold=tcfg.error_threshold)
     return track(one, ref_img, tgt_img, ref_pts, valid,
                  init_flow=tgt_pts_init - ref_pts)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def refine_patch_alignment_affine(tcfg: TrackerConfig, ref_img, tgt_img,
+                                  ref_pts, tgt_pts_init,
+                                  valid) -> TrackResult:
+    """Affine-warped inverse-compositional patch alignment — the WARPING
+    variant of MatchingOnPatches (the reference declares the option in
+    include/putslam/Matcher/MatchingOnPatches.h:37-66 but ships only the
+    translational optimizeLocation; this implements the full 6-DoF
+    inverse-compositional Lucas-Kanade, so slanted/rotated patches align
+    where pure translation plateaus).
+
+    Warp W(x; p) = (I + A)·x + t around the template point, p = (a₁..a₄,
+    tx, ty). Template gradients/Hessian precompute once; each iteration is
+    one batched bilinear sample + a (N,6,6) solve; update composes the
+    inverted incremental warp (Baker-Matthews IC)."""
+    r = tcfg.win_size // 2
+    oy, ox = jnp.meshgrid(
+        jnp.arange(-r, r + 1, dtype=jnp.float32),
+        jnp.arange(-r, r + 1, dtype=jnp.float32), indexing="ij")
+    offs = jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)   # (W2, 2)
+    W2 = offs.shape[0]
+    N = ref_pts.shape[0]
+
+    gx, gy = _grad(ref_img)
+    T = _sample_patches(ref_img, ref_pts, offs)                   # (N, W2)
+    Tx = _sample_patches(gx, ref_pts, offs)
+    Ty = _sample_patches(gy, ref_pts, offs)
+    # steepest-descent images: (N, W2, 6)
+    sd = jnp.stack([Tx * offs[None, :, 0], Tx * offs[None, :, 1],
+                    Ty * offs[None, :, 0], Ty * offs[None, :, 1],
+                    Tx, Ty], axis=-1)
+    Hm = jnp.einsum("nwa,nwb->nab", sd, sd)                       # (N, 6, 6)
+    Hm = Hm + 1e-4 * jnp.eye(6, dtype=Hm.dtype)
+
+    # warp state as 2x3 matrices [I+A | t], t initialized from the guess
+    M0 = jnp.tile(jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                            ref_img.dtype), (N, 1, 1))
+    M0 = M0.at[:, :, 2].set(tgt_pts_init - ref_pts)
+
+    def gn_iter(i, M):
+        # sample target at warped offsets around the template point
+        w_off = jnp.einsum("nab,wb->nwa", M[:, :, :2], offs) \
+            + M[:, None, :, 2]
+        q = ref_pts[:, None, :] + w_off                           # (N, W2, 2)
+        H, Wd = tgt_img.shape
+        u = jnp.clip(q[..., 0], 0.0, Wd - 1.001)
+        v = jnp.clip(q[..., 1], 0.0, H - 1.001)
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(v).astype(jnp.int32)
+        du, dv = u - x0, v - y0
+        I = (tgt_img[y0, x0] * (1 - du) * (1 - dv)
+             + tgt_img[y0, x0 + 1] * du * (1 - dv)
+             + tgt_img[y0 + 1, x0] * (1 - du) * dv
+             + tgt_img[y0 + 1, x0 + 1] * du * dv)
+        b = jnp.einsum("nwa,nw->na", sd, I - T)                   # (N, 6)
+        dp = jnp.linalg.solve(Hm, b[..., None])[..., 0]           # (N, 6)
+        # compose M ← M ∘ inv(W(dp)) in homogeneous 3x3 form
+        Md = jnp.tile(jnp.eye(3, dtype=M.dtype), (N, 1, 1))
+        Md = Md.at[:, 0, 0].add(dp[:, 0]).at[:, 0, 1].add(dp[:, 1])
+        Md = Md.at[:, 1, 0].add(dp[:, 2]).at[:, 1, 1].add(dp[:, 3])
+        Md = Md.at[:, 0, 2].add(dp[:, 4]).at[:, 1, 2].add(dp[:, 5])
+        M3 = jnp.concatenate(
+            [M, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], M.dtype),
+                         (N, 1, 1))], axis=1)
+        Mn = jnp.einsum("nab,nbc->nac", M3, jnp.linalg.inv(Md))[:, :2, :]
+        small = jnp.linalg.norm(dp[:, 4:6], axis=-1) < tcfg.eps
+        return jnp.where(small[:, None, None], M, Mn)
+
+    M = jax.lax.fori_loop(0, tcfg.max_iter, gn_iter, M0)
+    new_pts = ref_pts + M[:, :, 2]
+    # photometric error under the final warp
+    w_off = jnp.einsum("nab,wb->nwa", M[:, :, :2], offs) + M[:, None, :, 2]
+    q = ref_pts[:, None, :] + w_off
+    H, Wd = tgt_img.shape
+    u = jnp.clip(q[..., 0], 0.0, Wd - 1.001)
+    v = jnp.clip(q[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    du, dv = u - x0, v - y0
+    I = (tgt_img[y0, x0] * (1 - du) * (1 - dv)
+         + tgt_img[y0, x0 + 1] * du * (1 - dv)
+         + tgt_img[y0 + 1, x0] * (1 - du) * dv
+         + tgt_img[y0 + 1, x0 + 1] * du * dv)
+    err = jnp.mean(jnp.abs(I - T), axis=-1) * 255.0
+    inb = (
+        (new_pts[:, 0] >= r) & (new_pts[:, 0] <= Wd - 1 - r)
+        & (new_pts[:, 1] >= r) & (new_pts[:, 1] <= H - 1 - r)
+    )
+    ok = valid & inb & (err < tcfg.error_threshold)
+    return TrackResult(new_pts, err, ok)

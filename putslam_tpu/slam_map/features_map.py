@@ -131,8 +131,8 @@ class GuidedMatchPairs(NamedTuple):
 
 
 def guided_match_pairs(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
-                       feat: Features, radius_scale: float = 1.0
-                       ) -> GuidedMatchPairs:
+                       feat: Features, radius_scale: float = 1.0,
+                       hamming_slack: float = 0.0) -> GuidedMatchPairs:
     """Band-acceptance multi-mate guided matching (matcher.cpp:734-747: the
     reference accepts EVERY candidate with ratio·dist ≤ best per map
     feature, handing RANSAC a richer correspondence set). Per landmark the
@@ -148,7 +148,7 @@ def guided_match_pairs(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
     finite = jnp.isfinite(dist)
     best = jnp.min(jnp.where(finite, dist, 1e9), axis=1, keepdims=True)
     band = finite & (mc.matching_xyz_acceptance_ratio * dist <= best) \
-        & (dist <= mc.max_hamming)
+        & (dist <= mc.max_hamming + hamming_slack)
     negd = jnp.where(band, -dist, -jnp.inf)
     vals, idxs = jax.lax.top_k(negd, k)                              # (L, k)
     pair_ok = jnp.isfinite(vals).reshape(-1)                         # (L·k,)
@@ -176,8 +176,8 @@ def guided_match_pairs(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
 
 
 def guided_match(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
-                 feat: Features, radius_scale: float = 1.0
-                 ) -> GuidedMatchResult:
+                 feat: Features, radius_scale: float = 1.0,
+                 hamming_slack: float = 0.0) -> GuidedMatchResult:
     """Scale-aware guided map→frame matching (``matchXYZ``,
     matcher.cpp:606-798): for each visible landmark, candidate frame features
     are gated by a 3D sphere (|Δxyz| < matchingXYZSphereRadius, :699-711) and
@@ -202,13 +202,13 @@ def guided_match(cfg: SlamConfig, m: MapState, pose_guess: jnp.ndarray,
         best, second = two[:, 0], two[:, 1]
         distinct = (best <= mc.matching_xyz_acceptance_ratio * second) \
             | (second >= 1e9)  # a single candidate is trivially distinct
-        ok = (best < 1e9) & (best <= mc.max_hamming) & distinct
+        ok = (best < 1e9) & (best <= mc.max_hamming + hamming_slack) & distinct
         best = jnp.where(best < 1e9, best, jnp.inf)
     else:
         best = jnp.min(dist, axis=1)
         # acceptance: absolute Hamming gate (documented deviation from the
         # reference's band acceptance; selectable via mc.acceptance)
-        ok = jnp.isfinite(best) & (best <= mc.max_hamming)
+        ok = jnp.isfinite(best) & (best <= mc.max_hamming + hamming_slack)
     n_cand = jnp.sum(jnp.any(jnp.isfinite(dist), axis=1)).astype(jnp.int32)
     return GuidedMatchResult(best_idx, jnp.where(ok, best, jnp.inf), ok, n_cand)
 

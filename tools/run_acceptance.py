@@ -30,7 +30,26 @@ GBA = dict(window=256, kf_cap=512, lm_cap=6144, obs_cap=49152,
            sweeps=4, gn_iterations=10)
 
 
-def run_one(root: str):
+def apply_overrides(cfg, overrides):
+    """--override a.b=v entries applied onto the frozen config tree."""
+    for ov in overrides or []:
+        path, _, val = ov.partition("=")
+        keys = path.split(".")
+        v = json.loads(val)
+        node = cfg
+        objs = []
+        for k in keys[:-1]:
+            objs.append(node)
+            node = getattr(node, k)
+        node = dc.replace(node, **{keys[-1]: v})
+        for k, parent in zip(reversed(keys[:-1]), reversed(objs)):
+            node = parent.replace(**{k: node}) if hasattr(parent, "replace") \
+                else dc.replace(parent, **{k: node})
+        cfg = node
+    return cfg
+
+
+def run_one(root: str, alpha=None, overrides=None, seed=0):
     import run_reference_eval as rev
     from putslam_tpu.config import tum_fr1_config
     from putslam_tpu.io import tum
@@ -40,6 +59,9 @@ def run_one(root: str):
     cfg = tum_fr1_config()
     cfg = cfg.replace(backend=dc.replace(
         cfg.backend, optimize_every_n_frames=2, gn_iterations=3))
+    if alpha is not None:
+        cfg = cfg.replace(pose_blend_alpha=alpha)
+    cfg = apply_overrides(cfg, overrides)
     cam_json = os.path.join(root, "camera.json")
     if os.path.exists(cam_json):
         with open(cam_json) as f:
@@ -56,7 +78,7 @@ def run_one(root: str):
     gt_ts, gt = ds.groundtruth
     t0 = time.time()
     pb, pa, outs, st, archive = slam.run_slam_global(
-        cfg, grays, depths, init_pose=gt[0], chunk_size=64, **GBA)
+        cfg, grays, depths, init_pose=gt[0], chunk_size=64, seed=seed, **GBA)
     wall = time.time() - t0
     ts = np.arange(n) / 30.0
     with tempfile.TemporaryDirectory() as td:
@@ -88,6 +110,12 @@ def main(argv=None):
     ap.add_argument("--record", default=None,
                     help="write results into this ACCEPTANCE json")
     ap.add_argument("--bounds", default="ACCEPTANCE_r04.json")
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="override cfg.pose_blend_alpha")
+    ap.add_argument("--override", action="append", default=None,
+                    help="config override path=jsonvalue, e.g. "
+                         "matcher.retry_hamming_slack=0")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     bounds = json.load(open(args.bounds))["golden_bounds"]
@@ -101,7 +129,8 @@ def main(argv=None):
             print(f"SKIP {key}: {root} missing "
                   "(regenerate with tools/make_disk_dataset.py)")
             continue
-        r = run_one(root)
+        r = run_one(root, alpha=args.alpha, overrides=args.override,
+                    seed=args.seed)
         results[key] = r
         bound = bounds[f"{key}_ate_max_m"]
         good = r["ref_ate_rmse_g2o_m"] <= bound
