@@ -21,6 +21,17 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the per-module jax.clear_caches() below
+# (XLA:CPU segfault workaround) forces recompiles of shared programs in
+# every module — the disk cache turns those into deserializations. The
+# XLA:CPU AOT loader logs spurious machine-feature-mismatch errors on
+# load (the printed feature sets are identical modulo +/- notation —
+# upstream cosmetic bug); harmless, captured by pytest.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
