@@ -119,16 +119,19 @@ class MatcherConfig:
     # retry trigger: widen the sphere when the map-RANSAC inlier ratio is
     # below this (the reference retries while matchingRatio < 0.1)
     retry_inlier_ratio: float = 0.1
-    # AUTOMATIC degraded-frame recovery (round-5): each retry of the ladder
-    # ALSO widens the Hamming acceptance by this many bits and scales the
-    # RANSAC inlier threshold by retry_threshold_growth — under heavy
-    # depth noise (the hard stress preset: σ_z=0.02 m) the TRUE pair-error
-    # norm averages ~0.046 m, ABOVE the fixed 0.04 m Euclidean gate, so
-    # tracking starves on genuinely matchable frames; a failed/starved VO
-    # match re-runs once with the widened gates (lax.cond — the extra
-    # matmul/RANSAC is only paid on degraded frames). 0 disables both.
-    retry_hamming_slack: float = 16.0
-    retry_threshold_growth: float = 1.75
+    # OPTIONAL widened-gate rescue (round-5, off by default): retries can
+    # ALSO widen the Hamming acceptance by this many bits and scale the
+    # RANSAC inlier threshold by retry_threshold_growth (under heavy depth
+    # noise the TRUE pair-error norm exceeds the clean-data gate); adopted
+    # only when the strict pass failed outright. Measured: on the hard
+    # stress preset this buys ~15 % on top of the drift-budget correction
+    # gate (0.0527 → 0.0453 m), but widened-gate rescues of genuinely
+    # degenerate frames cost ~2× in-loop ATE on sparse-map sequences
+    # (30-frame orbit) — hence off by default; the DRIFT-BUDGET gate
+    # below/cfg.map_correction_growth is the automatic recovery mechanism.
+    # 0 / 1.0 disable.
+    retry_hamming_slack: float = 0.0
+    retry_threshold_growth: float = 1.0
     # Sticky degraded mode: an EMA (decay degraded_ema_decay) of the STRICT
     # first-pass map inlier ratio is carried in the state; while it sits
     # below degraded_health_ratio the widened-gate retries fire on EVERY
@@ -321,6 +324,17 @@ class SlamConfig:
     # further than this from the VO prediction (same spirit as the VO gate;
     # junk guided matches can otherwise assemble a confident wrong pose).
     max_map_correction: float = 0.08
+    # DRIFT-BUDGET gate growth (round-5 fix): a FIXED gate deadlocks under
+    # degradation — once VO drifts past it, every absolute fix is rejected,
+    # which locks in more drift (measured on the hard stress preset:
+    # map-correction acceptance 5.5 % of frames, ATE 0.35 m; growing the
+    # gate 0.08 → 0.3 restored acceptance and ATE 0.035 m). The gate grows
+    # by this many metres per frame since the last ACCEPTED correction
+    # (the VO drift budget) and snaps back to max_map_correction on
+    # acceptance. Clean runs accept nearly every frame, so the gate never
+    # leaves its floor there. 0 restores the fixed gate.
+    map_correction_growth: float = 0.02
+    max_map_correction_cap: float = 0.5
     # OPTIONAL smoothed output trajectory: the emitted pose chain follows
     # the internal estimate with a first-order lag, pose_s ← (pose_s ∘ vo)
     # ⊕ α·log(·⁻¹ ∘ pose), suppressing the per-frame re-draw of the

@@ -54,7 +54,10 @@ def vo_step(cfg: SlamConfig, key: jax.Array, prev: Features, curr: Features,
         res = ransac_mod.estimate(rcfg, cfg.camera, k, p, q, valid)
         return jnp.sum(valid).astype(jnp.int32), res
 
-    key, k2 = jax.random.split(key)
+    # split only when the rescue branch is compiled in — keeps the RNG
+    # stream identical to the no-rescue configuration otherwise
+    if cfg.matcher.retry_hamming_slack > 0:
+        key, k2 = jax.random.split(key)
     n_matches, res = match_and_estimate(key, cfg.matcher.max_hamming,
                                         cfg.ransac)
 
@@ -78,12 +81,12 @@ def vo_step(cfg: SlamConfig, key: jax.Array, prev: Features, curr: Features,
             (res.inlier_ratio < cfg.matcher.retry_inlier_ratio)
 
         def try_wider(k, _n=n_matches, _r=res):
-            # monotone: adopt the widened-gate retry only on strict
-            # improvement (see the map-matching ladder note in slam.py)
+            # rescue-only: adopt the widened-gate retry only when the
+            # strict pass failed outright (see the ladder note in slam.py)
             n2, r2 = match_and_estimate(
                 k, cfg.matcher.max_hamming + cfg.matcher.retry_hamming_slack,
                 rcfg2)
-            better = r2.ok & (r2.n_inliers > _r.n_inliers)
+            better = r2.ok & ~_r.ok
             return (jnp.where(better, n2, _n),
                     jax.tree.map(lambda a, b: jnp.where(better, a, b),
                                  r2, _r))

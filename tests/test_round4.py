@@ -263,14 +263,20 @@ def test_acceptance_record_within_golden_bounds():
     import os
 
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "ACCEPTANCE_r04.json")
+        os.path.abspath(__file__))), "ACCEPTANCE_r05.json")
     rec = json.load(open(path))
     b = rec["golden_bounds"]
     ds = rec["datasets"]
     assert ds["clean"]["ref_ate_rmse_g2o_m"] <= b["clean_ate_max_m"]
     assert ds["noisy"]["ref_ate_rmse_g2o_m"] <= b["noisy_ate_max_m"]
     assert ds["hard"]["ref_ate_rmse_g2o_m"] <= b["hard_ate_max_m"]
-    for d in ds.values():
+    # round-5 RPE gate: per-frame quality vs the reference (its clean RPE
+    # is 0.01065 m/s — the committed record must beat it)
+    assert ds["clean"]["ref_rpe_trans_g2o_m_per_s"] \
+        <= b["clean_rpe_trans_max_m_per_s"]
+    for name, d in ds.items():
+        if name == "long_sequence_1500":
+            continue
         assert d["frames"] >= 600
         # the global polish must not regress the online trajectory
         # (tracking-limited presets can be ATE-neutral within noise: 2%)

@@ -183,42 +183,44 @@ def test_rgbdslam_roundtrip(tmp_path):
 
 
 def test_degraded_frame_recovery_ladder():
-    """The automatic recovery ladder (retry_hamming_slack +
-    retry_threshold_growth) must rescue a frame whose depth noise pushes
-    true pair errors past the clean-data RANSAC gate — VO succeeds via the
-    widened-gate retry where the strict single pass falls to the identity
-    fallback."""
+    """The OPT-IN widened-gate rescue (retry_hamming_slack +
+    retry_threshold_growth) must recover a frame whose depth noise pushes
+    true pair errors past the strict RANSAC gate — the strict-only config
+    falls to the identity fallback, the rescue config recovers a pose.
+    (Rescue-only adoption: the widened result is used only when the strict
+    pass failed outright.)"""
     import dataclasses as dc
 
     from putslam_tpu.frontend.detector import detect_and_describe
     from putslam_tpu.models import vo as vo_mod
 
     cfg = tiny_test_config()
-    # tiny config gate is 0.10; make it strict vs the injected noise
+    # gate strict enough that the injected depth noise defeats it outright
     cfg = cfg.replace(ransac=dc.replace(cfg.ransac,
-                                        inlier_threshold_euclidean=0.02),
+                                        inlier_threshold_euclidean=0.008),
                       matcher=dc.replace(cfg.matcher,
                                          retry_hamming_slack=16.0,
-                                         retry_threshold_growth=3.0))
+                                         retry_threshold_growth=8.0))
     poses = synthetic.orbit_trajectory(3, radius=0.04, yaw_amp=0.03)
     grays, depths = synthetic.render_sequence(cfg.camera, poses)
     rng = np.random.default_rng(0)
     noisy_depth = np.asarray(depths) + rng.normal(
-        0, 0.015, np.asarray(depths).shape).astype(np.float32)
+        0, 0.02, np.asarray(depths).shape).astype(np.float32)
     f0 = detect_and_describe(cfg, jnp.asarray(grays[0]),
                              jnp.asarray(noisy_depth[0]))
     f1 = detect_and_describe(cfg, jnp.asarray(grays[1]),
                              jnp.asarray(noisy_depth[1]))
     key = jax.random.PRNGKey(4)
-    res = vo_mod.vo_step(cfg, key, f0, f1)
 
     cfg_off = cfg.replace(matcher=dc.replace(cfg.matcher,
-                                             retry_hamming_slack=0.0))
+                                             retry_hamming_slack=0.0,
+                                             retry_threshold_growth=1.0))
     res_off = vo_mod.vo_step(cfg_off, key, f0, f1)
-    # the strict pass starves; the ladder must do at least as well and
-    # actually recover a pose
-    assert int(res.n_inliers) >= int(res_off.n_inliers)
-    assert bool(res.ok)
+    res = vo_mod.vo_step(cfg, key, f0, f1)
+    assert not bool(res_off.ok)      # strict pass genuinely fails here
+    assert bool(res.ok)              # the rescue recovers a pose
+    # and the recovered increment is sane (small true motion)
+    assert float(jnp.linalg.norm(res.rel_pose[:3])) < 0.1
 
 
 def test_affine_patch_alignment_recovers_warp():

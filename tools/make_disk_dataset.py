@@ -40,6 +40,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--degrade", choices=sorted(DEGRADE_PRESETS), default="clean")
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--renderer", choices=("raycast", "planes"),
+                    default="raycast",
+                    help="planes = the INDEPENDENT numpy plane-scene "
+                         "renderer (io/synthetic2.py: different scene, "
+                         "texture, shading, and a division-model "
+                         "distortion the pinhole camera.json does not "
+                         "advertise)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -56,9 +63,14 @@ def main(argv=None):
     t0 = time.time()
     all_ts = np.arange(args.frames, dtype=np.float64) / 30.0
     deg = DEGRADE_PRESETS[args.degrade]
+    if args.renderer == "planes":
+        from putslam_tpu.io import synthetic2
     for s in range(0, args.frames, args.chunk):
         e = min(s + args.chunk, args.frames)
-        g, d = synthetic.render_sequence(cfg.camera, jnp.asarray(gt[s:e]))
+        if args.renderer == "planes":
+            g, d = synthetic2.render_sequence(cfg.camera, gt[s:e])
+        else:
+            g, d = synthetic.render_sequence(cfg.camera, jnp.asarray(gt[s:e]))
         if deg:
             g, d = synthetic.degrade_sequence(g, d, seed=args.seed + s, **deg)
         tum.write_tum_frames(args.out, np.asarray(g), np.asarray(d),

@@ -109,7 +109,7 @@ def main(argv=None):
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--record", default=None,
                     help="write results into this ACCEPTANCE json")
-    ap.add_argument("--bounds", default="ACCEPTANCE_r04.json")
+    ap.add_argument("--bounds", default="ACCEPTANCE_r05.json")
     ap.add_argument("--alpha", type=float, default=None,
                     help="override cfg.pose_blend_alpha")
     ap.add_argument("--override", action="append", default=None,
@@ -134,9 +134,15 @@ def main(argv=None):
         results[key] = r
         bound = bounds[f"{key}_ate_max_m"]
         good = r["ref_ate_rmse_g2o_m"] <= bound
+        rpe_bound = bounds.get(f"{key}_rpe_trans_max_m_per_s")
+        if rpe_bound is not None:
+            good &= r["ref_rpe_trans_g2o_m_per_s"] <= rpe_bound
         ok &= good
         print(f"{key}: ATE {r['ref_ate_rmse_g2o_m']} m "
-              f"(bound {bound}) {'OK' if good else 'FAIL'}", flush=True)
+              f"(bound {bound})"
+              + (f" RPE {r['ref_rpe_trans_g2o_m_per_s']} (bound {rpe_bound})"
+                 if rpe_bound else "")
+              + f" {'OK' if good else 'FAIL'}", flush=True)
     print(json.dumps(results, indent=1))
     if args.record:
         rec = json.load(open(args.record))
