@@ -45,6 +45,35 @@ class BAResult(NamedTuple):
     obs_sq_err: jnp.ndarray # (M,) final per-observation weighted sq. error
 
 
+def _final_sq_errors(bcfg: BackendConfig, kf_pose, lm_pos, lm_valid,
+                     g: GraphState, lm_gen=None, kf_gen=None,
+                     cam: CameraConfig = None):
+    """Per-observation weighted squared errors at a state — the prune
+    signal, WITHOUT Jacobians (the full _assemble_obs costs ~0.5 ms per BA
+    call at fr1 capacities just to throw the J's away; round-5 profiling)."""
+    kf_p = kf_pose[g.obs_kf]
+    lm_p = lm_pos[g.obs_lm]
+    fu, fv = (cam.fu, cam.fv) if cam is not None else (525.0, 525.0)
+    if bcfg.error_type == 0:
+        r = factors.obs_residual(kf_p, lm_p, g.obs_xyz)
+    else:
+        r = factors.reproj_residual(kf_p, lm_p, g.obs_xyz, fu, fv)
+    gate = g.obs_valid & lm_valid[g.obs_lm]
+    if lm_gen is not None:
+        gate = gate & (g.obs_gen == lm_gen[g.obs_lm])
+    if kf_gen is not None:
+        gate = gate & (g.obs_kfgen == kf_gen[g.obs_kf])
+    if bcfg.use_obs_info and bcfg.error_type == 0:
+        Lw = _whitening_chol(g, kf_pose.dtype)
+        r = jnp.einsum("msr,ms->mr", Lw, r)
+        w_info = gate.astype(kf_pose.dtype)
+    elif bcfg.error_type == 1:
+        w_info = gate.astype(kf_pose.dtype) / (bcfg.obs_pixel_sigma ** 2)
+    else:
+        w_info = g.obs_w * gate
+    return w_info * jnp.sum(r * r, axis=-1)
+
+
 def _assemble_obs(bcfg: BackendConfig, kf_pose, lm_pos, lm_valid, g: GraphState,
                   lm_gen=None, kf_gen=None, cam: CameraConfig = None):
     """Residuals/Jacobians/weights for all pose-landmark observations.
@@ -237,8 +266,8 @@ def gauss_newton_pcg(bcfg: BackendConfig,
 
     (kf_out, lm_out), chi2s = jax.lax.scan(
         iteration, (kf_pose, lm_pos), None, length=bcfg.gn_iterations)
-    _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
-                                         lm_gen, kf_gen, cam)
+    sq_final = _final_sq_errors(bcfg, kf_out, lm_out, lm_valid, g,
+                                lm_gen, kf_gen, cam)
     return BAResult(kf_out, lm_out, chi2s, sq_final)
 
 
@@ -344,8 +373,8 @@ def gauss_newton(bcfg: BackendConfig,
 
     (kf_out, lm_out), chi2s = jax.lax.scan(
         iteration, (kf_pose, lm_pos), None, length=bcfg.gn_iterations)
-    _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
-                                         lm_gen, kf_gen, cam)
+    sq_final = _final_sq_errors(bcfg, kf_out, lm_out, lm_valid, g,
+                                lm_gen, kf_gen, cam)
     return BAResult(kf_out, lm_out, chi2s, sq_final)
 
 
@@ -663,8 +692,8 @@ def gauss_newton_mm(bcfg: BackendConfig,
         None, length=bcfg.gn_iterations)
     # scatter the compact landmark block back (sentinel rows drop OOB)
     lm_out = lm_pos.at[jnp.where(lm_dead_c, L, sel_lm)].set(lm_out_c)
-    _, _, _, _, sq_final = _assemble_obs(bcfg, kf_out, lm_out, lm_valid, g,
-                                         lm_gen, kf_gen, cam)
+    sq_final = _final_sq_errors(bcfg, kf_out, lm_out, lm_valid, g,
+                                lm_gen, kf_gen, cam)
     return BAResult(kf_out, lm_out, chi2s, sq_final)
 
 

@@ -68,6 +68,11 @@ class DetectorConfig:
     # slightly stronger spatial spread); "exact" = the reference's
     # per-cell top-k verbatim (matcherOpenCV.cpp:118-180, ~4× cap cost)
     grid_policy: str = "subtile"
+    # fused Pallas FAST+NMS kernel (ops/fast_pallas.py): bit-exact with the
+    # XLA path; measured AT PARITY on the v5e (0.057 vs 0.016 ms — XLA's
+    # fusion already saturates this stage), kept selectable as the
+    # committed Pallas integration path
+    use_pallas_detect: bool = False
     patch_size: int = 32             # descriptor patch (rBRIEF standard)
     descriptor: str = "brief"        # "brief" (rBRIEF) | "ldb" (grid tests, src/LDB)
     border: int = 20                 # keypoint exclusion border

@@ -93,6 +93,7 @@ def detect_and_describe(cfg: SlamConfig, gray: jnp.ndarray,
             img, det.fast_threshold, det.nms_radius,
             det.grid_rows, det.grid_cols, Nl,
             grid_policy=det.grid_policy,
+            use_pallas=det.use_pallas_detect,
         )
         # exclude border keypoints (patch must fit; reference border policy)
         b = float(max(det.border // max(int(scale), 1), brief.PATCH // 2 + 1))

@@ -782,9 +782,8 @@ def _final_obs_errors(bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen, kf_gen,
                       cam):
     """Final per-observation weighted squared errors (the prune signal the
     single-device BAResult carries as obs_sq_err)."""
-    _, _, _, _, sq = opt_mod._assemble_obs(
+    return opt_mod._final_sq_errors(
         bcfg, kf_pose, lm_pos, lm_valid, g, lm_gen, kf_gen, cam)
-    return sq
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

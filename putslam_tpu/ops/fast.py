@@ -217,12 +217,20 @@ def subpixel_refine(score: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 def detect(gray: jnp.ndarray, threshold: float, nms_radius: int,
            grid_rows: int, grid_cols: int, max_features: int,
-           grid_policy: str = "subtile"):
+           grid_policy: str = "subtile", use_pallas: bool = False):
     """fast_score_map → nms → grid cap → subpixel refine, one call.
     ``grid_policy``: "subtile" (fast, one winner per subtile) or "exact"
-    (the reference's per-cell top-k, ~4× the cap cost)."""
-    raw = fast_score_map(gray, threshold)
-    s = nms(raw, nms_radius)
+    (the reference's per-cell top-k, ~4× the cap cost). ``use_pallas``
+    routes score+NMS through the fused Pallas kernel (bit-exact; measured
+    at parity with the XLA fusion on v5e — subpixel refine then recomputes
+    the raw map, so the XLA path stays the default)."""
+    if use_pallas:
+        from putslam_tpu.ops import fast_pallas
+        raw = fast_score_map(gray, threshold)
+        s = fast_pallas.fast_score_nms(gray, threshold, nms_radius)
+    else:
+        raw = fast_score_map(gray, threshold)
+        s = nms(raw, nms_radius)
     cap = grid_topk if grid_policy == "subtile" else grid_topk_exact
     uv, resp, valid = cap(s, grid_rows, grid_cols, max_features)
     uv = jnp.where(valid[:, None], subpixel_refine(raw, uv), uv)

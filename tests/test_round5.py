@@ -291,3 +291,16 @@ def test_se2_pose_graph_converges():
     np.testing.assert_allclose(
         np.asarray(se2.relative(a, se2.compose(a, b))), np.asarray(b),
         atol=1e-5)
+
+
+def test_pallas_fast_kernel_matches_xla():
+    """The fused Pallas FAST+NMS kernel must be bit-exact with the XLA
+    chain (runs interpreted on CPU; compiled + measured on the chip —
+    landed at parity, see ops/fast_pallas.py docstring)."""
+    from putslam_tpu.ops import fast, fast_pallas
+
+    rng = np.random.default_rng(9)
+    g = jnp.asarray(rng.uniform(0, 1, (64, 96)).astype(np.float32))
+    ref = fast.nms(fast.fast_score_map(g, 20.0), 3)
+    got = fast_pallas.fast_score_nms(g, 20.0, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
