@@ -275,7 +275,7 @@ def test_acceptance_record_within_golden_bounds():
     assert ds["clean"]["ref_rpe_trans_g2o_m_per_s"] \
         <= b["clean_rpe_trans_max_m_per_s"]
     for name, d in ds.items():
-        if name == "long_sequence_1500":
+        if "ref_ate_rmse_VO_m" not in d:   # aux records (1500-frame, planes)
             continue
         assert d["frames"] >= 600
         # the global polish must not regress the online trajectory
