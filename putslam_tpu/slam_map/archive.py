@@ -95,12 +95,26 @@ class MapArchive:
         return range(self._n_obs)
 
     def absorb(self, state) -> None:
-        """Snapshot live vertices + newly appended edges from a SlamState."""
+        """Snapshot live vertices + newly appended edges from a SlamState.
+
+        All device arrays are fetched in ONE ``jax.device_get`` batch:
+        per-array np.asarray paid a full host↔device round trip each on
+        tunneled backends (~20 RTTs/chunk ≈ 12 s over a 1500-frame run;
+        round-5 measurement)."""
+        import jax
+
         m, g = state.map, state.graph
-        kf_seq = np.asarray(m.kf_seq)
-        kf_gen = np.asarray(m.kf_gen).astype(np.int64)
-        kf_valid = np.asarray(m.kf_valid)
-        kf_pose = np.asarray(m.kf_pose)
+        (kf_seq, kf_gen, kf_valid, kf_pose, lm_valid_d, lm_gen_d, lm_pos_d,
+         obs_seq_d, n_obs_d, obs_valid_d, obs_kf_d, obs_kfgen_d, obs_lm_d,
+         obs_gen_d, obs_xyz_d, obs_w_d, obs_info_d,
+         n_pp_d, pp_i_d, pp_j_d, pp_gi_d, pp_gj_d, pp_rel_d, pp_w_d,
+         pp_valid_d) = jax.device_get(
+            (m.kf_seq, m.kf_gen, m.kf_valid, m.kf_pose, m.lm_valid,
+             m.lm_gen, m.lm_pos, g.obs_seq, g.n_obs, g.obs_valid, g.obs_kf,
+             g.obs_kfgen, g.obs_lm, g.obs_gen, g.obs_xyz, g.obs_w,
+             g.obs_info, g.n_pp, g.pp_i, g.pp_j, g.pp_gen_i, g.pp_gen_j,
+             g.pp_rel, g.pp_w, g.pp_valid))
+        kf_gen = kf_gen.astype(np.int64)
         live = np.nonzero(kf_valid)[0]
         live_codes = live.astype(np.int64) * _GEN_BASE + kf_gen[live]
         for slot, code in zip(live.tolist(), live_codes.tolist()):
@@ -109,9 +123,9 @@ class MapArchive:
             self._kf_of[(int(slot), int(kf_gen[slot]))] = seq
             self._kf_seq_of_code[code] = seq
 
-        lm_valid = np.asarray(m.lm_valid)
-        lm_gen = np.asarray(m.lm_gen).astype(np.int64)
-        lm_pos = np.asarray(m.lm_pos)
+        lm_valid = lm_valid_d
+        lm_gen = lm_gen_d.astype(np.int64)
+        lm_pos = lm_pos_d
         lslots = np.nonzero(lm_valid)[0]
         if len(lslots):
             lcodes = lslots.astype(np.int64) * _GEN_BASE + lm_gen[lslots]
@@ -125,16 +139,16 @@ class MapArchive:
             self._lm_pos_arr[gids] = lm_pos[lslots]
 
         # new observations since the last absorb, by append sequence number
-        obs_seq = np.asarray(g.obs_seq)
-        n_now = int(np.asarray(g.n_obs))
-        fresh = (obs_seq >= self._n_obs_seen) & np.asarray(g.obs_valid)
+        obs_seq = obs_seq_d
+        n_now = int(n_obs_d)
+        fresh = (obs_seq >= self._n_obs_seen) & obs_valid_d
         if fresh.any():
             idx = np.nonzero(fresh)[0]
             idx = idx[np.argsort(obs_seq[idx], kind="stable")]
-            o_kf = np.asarray(g.obs_kf)[idx].astype(np.int64)
-            o_kfg = np.asarray(g.obs_kfgen)[idx].astype(np.int64)
-            o_lm = np.asarray(g.obs_lm)[idx].astype(np.int64)
-            o_g = np.asarray(g.obs_gen)[idx].astype(np.int64)
+            o_kf = obs_kf_d[idx].astype(np.int64)
+            o_kfg = obs_kfgen_d[idx].astype(np.int64)
+            o_lm = obs_lm_d[idx].astype(np.int64)
+            o_g = obs_gen_d[idx].astype(np.int64)
             kf_codes = o_kf * _GEN_BASE + o_kfg
             # vectorized code→seq: unique codes, dict lookup per unique only
             uniq, inv = np.unique(kf_codes, return_inverse=True)
@@ -147,25 +161,25 @@ class MapArchive:
                     (o_lm * _GEN_BASE + o_g)[keep])
                 self.obs_chunks.append((
                     seqs[keep].astype(np.int32), gids.astype(np.int32),
-                    np.asarray(g.obs_xyz)[idx][keep].copy(),
-                    np.asarray(g.obs_w)[idx][keep].copy(),
-                    np.asarray(g.obs_info)[idx][keep].copy()))
+                    obs_xyz_d[idx][keep].copy(),
+                    obs_w_d[idx][keep].copy(),
+                    obs_info_d[idx][keep].copy()))
                 self._n_obs += int(keep.sum())
         self._n_obs_seen = n_now
 
         # new pose-pose edges (plain cursor ring) — bulk slice of the ring
-        n_pp = int(np.asarray(g.n_pp))
+        n_pp = int(n_pp_d)
         E = g.pp_capacity
         if n_pp > self._n_pp_seen:
             lo = max(self._n_pp_seen, n_pp - E)
             s = np.arange(lo, n_pp) % E
-            pp_valid = np.asarray(g.pp_valid)[s]
+            pp_valid = pp_valid_d[s]
             s = s[pp_valid]
             if len(s):
-                ci = (np.asarray(g.pp_i)[s].astype(np.int64) * _GEN_BASE
-                      + np.asarray(g.pp_gen_i)[s])
-                cj = (np.asarray(g.pp_j)[s].astype(np.int64) * _GEN_BASE
-                      + np.asarray(g.pp_gen_j)[s])
+                ci = (pp_i_d[s].astype(np.int64) * _GEN_BASE
+                      + pp_gi_d[s])
+                cj = (pp_j_d[s].astype(np.int64) * _GEN_BASE
+                      + pp_gj_d[s])
                 ui, vi = np.unique(np.concatenate([ci, cj]), return_inverse=True)
                 lut = np.array([self._kf_seq_of_code.get(c, -1)
                                 for c in ui.tolist()], np.int64)
@@ -175,8 +189,8 @@ class MapArchive:
                     self.pp_chunks.append((
                         both[0][keep].astype(np.int32),
                         both[1][keep].astype(np.int32),
-                        np.asarray(g.pp_rel)[s][keep].copy(),
-                        np.asarray(g.pp_w)[s][keep].copy()))
+                        pp_rel_d[s][keep].copy(),
+                        pp_w_d[s][keep].copy()))
                     self._n_pp_edges += int(keep.sum())
         self._n_pp_seen = n_pp
 
