@@ -120,26 +120,23 @@ def add_observations(g: GraphState, kf_idx, lm_idx, xyz, weight, mask,
     safe_slot = jnp.where(mask, slot, M)
     if info is None:
         info = jnp.zeros(xyz.shape[:-1] + (3, 3), g.obs_info.dtype)
+    # masked-off lanes carry index M: their scatters are DROPPED outright
+    # (JAX .at out-of-bounds-set semantics), so no where(mask, new, old)
+    # read-back is needed — the previous form gathered every store field
+    # (9 × M-row gathers) per append just to re-write unchanged values
+    # (round-5 keyframe-path profiling)
     return g._replace(
-        obs_kf=g.obs_kf.at[safe_slot].set(
-            jnp.where(mask, kf_idx, g.obs_kf[safe_slot])),
-        obs_lm=g.obs_lm.at[safe_slot].set(
-            jnp.where(mask, lm_idx, g.obs_lm[safe_slot])),
-        obs_xyz=g.obs_xyz.at[safe_slot].set(
-            jnp.where(mask[:, None], xyz, g.obs_xyz[safe_slot])),
-        obs_w=g.obs_w.at[safe_slot].set(
-            jnp.where(mask, weight, g.obs_w[safe_slot])),
+        obs_kf=g.obs_kf.at[safe_slot].set(kf_idx),
+        obs_lm=g.obs_lm.at[safe_slot].set(lm_idx),
+        obs_xyz=g.obs_xyz.at[safe_slot].set(xyz),
+        obs_w=g.obs_w.at[safe_slot].set(weight),
         obs_gen=g.obs_gen.at[safe_slot].set(
-            jnp.where(mask, gen if gen is not None else 0, g.obs_gen[safe_slot])),
+            gen if gen is not None else jnp.zeros_like(kf_idx)),
         obs_kfgen=g.obs_kfgen.at[safe_slot].set(
-            jnp.where(mask, kf_gen if kf_gen is not None else 0,
-                      g.obs_kfgen[safe_slot])),
-        obs_info=g.obs_info.at[safe_slot].set(
-            jnp.where(mask[:, None, None], info, g.obs_info[safe_slot])),
-        obs_seq=g.obs_seq.at[safe_slot].set(
-            jnp.where(mask, g.n_obs + rank, g.obs_seq[safe_slot])),
-        obs_valid=g.obs_valid.at[safe_slot].set(
-            jnp.where(mask, True, g.obs_valid[safe_slot])),
+            kf_gen if kf_gen is not None else jnp.zeros_like(kf_idx)),
+        obs_info=g.obs_info.at[safe_slot].set(info),
+        obs_seq=g.obs_seq.at[safe_slot].set(g.n_obs + rank),
+        obs_valid=g.obs_valid.at[safe_slot].set(True),
         n_obs=g.n_obs + jnp.sum(mask.astype(jnp.int32)),
     )
 
@@ -162,18 +159,20 @@ def add_pose_pose(g: GraphState, i, j, rel, weight, valid=True,
     """Append one pose-pose edge (VO increment; PUTSLAM.cpp:814-821).
     ``gen_i``/``gen_j``: keyframe-slot generations at insert time."""
     E = g.pp_capacity
-    slot = jnp.mod(g.n_pp, E)
     v = jnp.asarray(valid)
+    # invalid appends scatter to the out-of-bounds slot E and are dropped —
+    # no read-back of the current slot values needed
+    slot = jnp.where(v, jnp.mod(g.n_pp, E), E)
     return g._replace(
-        pp_i=g.pp_i.at[slot].set(jnp.where(v, i, g.pp_i[slot])),
-        pp_j=g.pp_j.at[slot].set(jnp.where(v, j, g.pp_j[slot])),
-        pp_rel=g.pp_rel.at[slot].set(jnp.where(v, rel, g.pp_rel[slot])),
-        pp_w=g.pp_w.at[slot].set(jnp.where(v, weight, g.pp_w[slot])),
+        pp_i=g.pp_i.at[slot].set(i),
+        pp_j=g.pp_j.at[slot].set(j),
+        pp_rel=g.pp_rel.at[slot].set(rel),
+        pp_w=g.pp_w.at[slot].set(weight),
         pp_gen_i=g.pp_gen_i.at[slot].set(
-            jnp.where(v, gen_i if gen_i is not None else 0, g.pp_gen_i[slot])),
+            gen_i if gen_i is not None else 0),
         pp_gen_j=g.pp_gen_j.at[slot].set(
-            jnp.where(v, gen_j if gen_j is not None else 0, g.pp_gen_j[slot])),
-        pp_valid=g.pp_valid.at[slot].set(jnp.where(v, True, g.pp_valid[slot])),
+            gen_j if gen_j is not None else 0),
+        pp_valid=g.pp_valid.at[slot].set(True),
         n_pp=g.n_pp + v.astype(jnp.int32),
     )
 

@@ -247,34 +247,27 @@ def add_landmarks(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
     cand_idx, slot_idx = _allocate_slots(~m.lm_valid, want, mp.max_once_feature_add)
     ok = slot_idx >= 0
     safe_cand = jnp.maximum(cand_idx, 0)
-    safe_slot = jnp.maximum(slot_idx, 0)
+    # masked-off lanes scatter to the out-of-bounds index L and are DROPPED
+    # (JAX .at set semantics) — no where(ok, new, old) read-back needed
+    # (the old form gathered every store field per provisioning call)
+    safe_slot = jnp.where(ok, slot_idx, L).astype(jnp.int32)
 
     view_dir = xyz_w[safe_cand] - se3.translation(pose)[None, :]
     view_dir = view_dir / jnp.maximum(
         jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
 
-    lm_pos = m.lm_pos.at[safe_slot].set(
-        jnp.where(ok[:, None], xyz_w[safe_cand], m.lm_pos[safe_slot]))
-    lm_desc = m.lm_desc.at[safe_slot, 0].set(
-        jnp.where(ok[:, None], feat.desc[safe_cand], m.lm_desc[safe_slot, 0]))
-    lm_view_dir = m.lm_view_dir.at[safe_slot, 0].set(
-        jnp.where(ok[:, None], view_dir, m.lm_view_dir[safe_slot, 0]))
-    lm_slot_used = m.lm_slot_used.at[safe_slot, 0].set(
-        jnp.where(ok, True, m.lm_slot_used[safe_slot, 0]))
-    lm_octave = m.lm_octave.at[safe_slot].set(
-        jnp.where(ok, feat.octave[safe_cand], m.lm_octave[safe_slot]))
-    lm_life = m.lm_life.at[safe_slot].set(
-        jnp.where(ok, mp.life_value_init, m.lm_life[safe_slot]))
-    lm_n_obs = m.lm_n_obs.at[safe_slot].set(
-        jnp.where(ok, 1, m.lm_n_obs[safe_slot]))
-    lm_last_kf = m.lm_last_kf.at[safe_slot].set(
-        jnp.where(ok, kf_idx, m.lm_last_kf[safe_slot]))
-    lm_valid = m.lm_valid.at[safe_slot].set(
-        jnp.where(ok, True, m.lm_valid[safe_slot]))
-    lm_gen = m.lm_gen.at[safe_slot].add(jnp.where(ok, 1, 0))
+    lm_pos = m.lm_pos.at[safe_slot].set(xyz_w[safe_cand])
+    lm_desc = m.lm_desc.at[safe_slot, 0].set(feat.desc[safe_cand])
+    lm_view_dir = m.lm_view_dir.at[safe_slot, 0].set(view_dir)
+    lm_slot_used = m.lm_slot_used.at[safe_slot, 0].set(True)
+    lm_octave = m.lm_octave.at[safe_slot].set(feat.octave[safe_cand])
+    lm_life = m.lm_life.at[safe_slot].set(mp.life_value_init)
+    lm_n_obs = m.lm_n_obs.at[safe_slot].set(1)
+    lm_last_kf = m.lm_last_kf.at[safe_slot].set(kf_idx)
+    lm_valid = m.lm_valid.at[safe_slot].set(True)
+    lm_gen = m.lm_gen.at[safe_slot].add(1)
     # clear descriptor slots beyond 0 for the recycled landmark
-    lm_slot_used = lm_slot_used.at[safe_slot, 1:].set(
-        jnp.where(ok[:, None], False, lm_slot_used[safe_slot, 1:]))
+    lm_slot_used = lm_slot_used.at[safe_slot, 1:].set(False)
     return m._replace(
         lm_pos=lm_pos, lm_desc=lm_desc, lm_view_dir=lm_view_dir,
         lm_slot_used=lm_slot_used, lm_octave=lm_octave, lm_life=lm_life,
@@ -312,12 +305,13 @@ def update_matched_landmarks(cfg: SlamConfig, m: MapState, pose: jnp.ndarray,
 
     lidx = jnp.arange(L)
     new_desc = feat.desc[fidx]                                      # (L, 256)
-    lm_desc = m.lm_desc.at[lidx, free_slot].set(
-        jnp.where(store[:, None], new_desc, m.lm_desc[lidx, free_slot]))
-    lm_view_dir = m.lm_view_dir.at[lidx, free_slot].set(
-        jnp.where(store[:, None], vd, m.lm_view_dir[lidx, free_slot]))
-    lm_slot_used = m.lm_slot_used.at[lidx, free_slot].set(
-        jnp.where(store, True, m.lm_slot_used[lidx, free_slot]))
+    # rows not storing scatter to the out-of-bounds slot index D and are
+    # dropped — no read-back gathers of the (L, D, 256) descriptor store
+    D = m.lm_slot_used.shape[1]
+    safe_free = jnp.where(store, free_slot, D)
+    lm_desc = m.lm_desc.at[lidx, safe_free].set(new_desc)
+    lm_view_dir = m.lm_view_dir.at[lidx, safe_free].set(vd)
+    lm_slot_used = m.lm_slot_used.at[lidx, safe_free].set(True)
 
     # landmark death: life exhausted (weak-feature removal analog)
     lm_valid = m.lm_valid & (lm_life > 0.0)
