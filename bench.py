@@ -106,6 +106,15 @@ def main():
     }
     print(json.dumps(detail), file=sys.stderr)
     try:
+        # merge-preserve auxiliary sections (e.g. the round-5 profile
+        # table) that other tools record into the same file
+        try:
+            prev = json.load(open("BENCH_DETAIL.json"))
+            for k, v in prev.items():
+                if k not in detail:
+                    detail[k] = v
+        except Exception:
+            pass
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
