@@ -2,12 +2,14 @@
 """Per-stage device-time profile of the full SLAM step on the current
 backend (TPU or CPU).
 
-Each stage is timed as a jitted scan of ``reps`` dependent iterations (the
-carry feeds back into the stage input), so per-op dispatch and host↔device
-fetch overhead — which dominate naive timing through the axon tunnel —
-are amortized away. Reports a stage table plus an MXU-utilization estimate
-for the two largest matmuls (guided-match descriptor product, BA Schur
-product).
+Each stage is timed as a jitted scan of dependent iterations (the carry
+feeds back into the stage input) at TWO scan lengths, and the reported
+time is the MARGINAL SLOPE between them: a single-length measurement
+divides the ~24 ms tunnel dispatch+fetch floor by the rep count, which
+silently adds ~0.5-1 ms to every stage (round-4's "front-end bound"
+conclusion was exactly this artifact — round-5 postmortem in
+BENCH_DETAIL.json). Reports a stage table plus an MXU-utilization
+estimate for the largest matmul.
 
 Reference stage taxonomy: src/PUTSLAM/TimeMeasurement.h (detection /
 description / matching / RANSAC / map ops / optimization), so the table is
@@ -63,40 +65,51 @@ def main(argv=None):
     results = {}
 
     def timeit(name, fn, *xs, scale_inputs=None):
-        """Time fn amortized over `reps` dependent evals inside one jit.
+        """Marginal-slope timing: two dependent-eval scan lengths R0 < R1,
+        report (t(R1) − t(R0)) / (R1 − R0).
 
         Every float32 leaf of the inputs is perturbed by the (always ~0)
         carry so the computation depends on the previous iteration — without
         this, XLA hoists the loop-invariant body out of the scan and the
-        measurement collapses to overhead."""
+        measurement collapses to overhead. The two-length slope cancels the
+        per-call dispatch+fetch floor of tunneled backends."""
+        R0, R1 = max(reps // 4, 4), reps
 
-        def loop(*ys):
-            def body(c, _):
-                def bump(leaf):
-                    if isinstance(leaf, jnp.ndarray) and \
-                            leaf.dtype == jnp.float32:
-                        return leaf + c * 1e-30
-                    return leaf
+        def mkloop(length):
+            def loop(*ys):
+                def body(c, _):
+                    def bump(leaf):
+                        if isinstance(leaf, jnp.ndarray) and \
+                                leaf.dtype == jnp.float32:
+                            return leaf + c * 1e-30
+                        return leaf
 
-                zs = jax.tree.map(bump, ys)
-                out = fn(*zs)
-                acc = jnp.float32(0.0)
-                for leaf in jax.tree.leaves(out):
-                    if isinstance(leaf, jnp.ndarray) and \
-                            leaf.dtype == jnp.float32:
-                        acc = acc + jnp.sum(leaf) * 1e-30
-                return c + acc, None
+                    zs = jax.tree.map(bump, ys)
+                    out = fn(*zs)
+                    acc = jnp.float32(0.0)
+                    for leaf in jax.tree.leaves(out):
+                        if isinstance(leaf, jnp.ndarray) and \
+                                leaf.dtype == jnp.float32:
+                            acc = acc + jnp.sum(leaf) * 1e-30
+                    return c + acc, None
 
-            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-            return out
+                out, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                      length=length)
+                return out
 
-        jf = jax.jit(loop)
+            return jax.jit(loop)
+
+        jf0, jf1 = mkloop(R0), mkloop(R1)
         t0 = time.time()
-        np.asarray(jf(*xs))
+        np.asarray(jf0(*xs))
+        np.asarray(jf1(*xs))
         compile_s = time.time() - t0
-        t0 = time.time()
-        np.asarray(jf(*xs))
-        ms = 1000.0 * (time.time() - t0) / reps
+        best = float("inf")
+        for _ in range(3):
+            ta = time.time(); np.asarray(jf0(*xs)); ta = time.time() - ta
+            tb = time.time(); np.asarray(jf1(*xs)); tb = time.time() - tb
+            best = min(best, (tb - ta) / (R1 - R0))
+        ms = 1000.0 * best
         results[name] = {"ms": round(ms, 3), "compile_s": round(compile_s, 1)}
         print(f"{name:28s} {ms:8.3f} ms   (compile {compile_s:.1f}s)",
               flush=True)
@@ -171,8 +184,11 @@ def main(argv=None):
     gm_ms = results["guided_match"]["ms"]
     results["mxu_estimates"] = {
         "guided_match_matmul_gflop": round(gm_flops / 1e9, 1),
-        "guided_match_util_pct_upper": round(
-            100 * gm_flops / (gm_ms / 1e3) / peak_bf16, 1),
+        # below ~0.05 ms the marginal-slope measurement is inside its own
+        # noise band — a utilization ratio would be meaningless
+        "guided_match_util_pct_upper": (round(
+            100 * gm_flops / (gm_ms / 1e3) / peak_bf16, 1)
+            if gm_ms > 0.05 else "below-measurement-noise"),
         "ba_G_matmul_gflop": round(2 * M * 18 * K * L / 1e9, 1),
         "ba_schur_matmul_gflop": round(2 * (K * 6) ** 2 * L * 3 / 1e9, 1),
     }
